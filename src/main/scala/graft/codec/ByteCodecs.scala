@@ -1,0 +1,220 @@
+package graft.codec
+
+import java.io.ByteArrayOutputStream
+
+/** A byte-stream codec: encodes an opaque byte payload into a
+  * self-describing block (codec id is stored by the caller's block
+  * header, not here). All codecs are pure Scala, Spark-agnostic; they run
+  * inside `Dataset.mapPartitions` kernels. */
+trait ByteCodec extends Serializable {
+  def id: Int
+  def name: String
+  def encode(data: Array[Byte]): Array[Byte]
+  def decode(block: Array[Byte]): Array[Byte]
+}
+
+object ByteCodecs {
+  val FrameLength = 128
+
+  def byId(id: Int): ByteCodec = id match {
+    case PlainBytes.id => PlainBytes
+    case FlBytes.id    => FlBytes
+    case RleBytes.id   => RleBytes
+    case FsstBytes.id  => FsstBytes
+    case other         => throw new IllegalArgumentException(s"unknown byte codec id $other")
+  }
+
+  val all: Seq[ByteCodec] = Seq(PlainBytes, FlBytes, RleBytes, FsstBytes)
+}
+
+/** Identity codec: [varint n][bytes]. */
+case object PlainBytes extends ByteCodec {
+  val id = 0
+  val name = "plain"
+  def encode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 5)
+    Varint.writeUnsigned(out, data.length.toLong)
+    out.write(data, 0, data.length)
+    out.toByteArray
+  }
+  def decode(block: Array[Byte]): Array[Byte] = {
+    val cur = new ByteCursor(block)
+    cur.readBytes(cur.readUnsignedVarint().toInt)
+  }
+}
+
+/** Generalized Fixed-Length bit-packing over bytes.
+  *
+  * Payload is bit-identical to the reference FL stream (bits array then
+  * values array, /root/reference/src/fl/fl_cpu.cu:9-90): frame=128,
+  * per-frame width = max(1, bitWidth(maxValue)), LSB-first sequential
+  * cursor. Block layout: [varint n][bits ceil(n/128)][values]. The block
+  * is always <= the reference's on-disk FL file on the same bytes (its
+  * 24-byte header vs our <=9-byte varint) — this codec is the structural
+  * "<= reference size" fallback in the selector. */
+case object FlBytes extends ByteCodec {
+  val id = 1
+  val name = "fl_bitpack"
+  import ByteCodecs.FrameLength
+
+  def encode(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val framesCount = (n + FrameLength - 1) / FrameLength
+    val bits = new Array[Byte](framesCount)
+    var totalBits = 0L
+    var f = 0
+    while (f < framesCount) {
+      val end = math.min(n, (f + 1) * FrameLength)
+      var w = 1
+      var i = f * FrameLength
+      while (i < end) {
+        val vw = Bits.widthOfByte(data(i))
+        if (vw > w) w = vw
+        i += 1
+      }
+      bits(f) = w.toByte
+      totalBits += w.toLong * (end - f * FrameLength)
+      f += 1
+    }
+    val header = new ByteArrayOutputStream(16)
+    Varint.writeUnsigned(header, n.toLong)
+    val head = header.toByteArray
+    val values = new Array[Byte](Bits.byteLen(totalBits))
+    val writer = new BitWriter(values)
+    f = 0
+    while (f < framesCount) {
+      val w = bits(f) & 0xff
+      val end = math.min(n, (f + 1) * FrameLength)
+      var i = f * FrameLength
+      while (i < end) {
+        writer.write((data(i) & 0xffL), w)
+        i += 1
+      }
+      f += 1
+    }
+    val out = new Array[Byte](head.length + framesCount + values.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(bits, 0, out, head.length, framesCount)
+    System.arraycopy(values, 0, out, head.length + framesCount, values.length)
+    out
+  }
+
+  def decode(block: Array[Byte]): Array[Byte] = {
+    val cur = new ByteCursor(block)
+    val n = cur.readUnsignedVarint().toInt
+    if (n == 0) return Array.emptyByteArray
+    val framesCount = (n + FrameLength - 1) / FrameLength
+    val bits = cur.readBytes(framesCount)
+    val reader = new BitReader(block, cur.pos.toLong * 8L)
+    val out = new Array[Byte](n)
+    var f = 0
+    while (f < framesCount) {
+      val w = bits(f) & 0xff
+      val end = math.min(n, (f + 1) * FrameLength)
+      var i = f * FrameLength
+      while (i < end) {
+        out(i) = reader.read(w).toByte
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Exact encoded block size without materializing it. */
+  def sizeOf(data: Array[Byte]): Long = {
+    val n = data.length
+    val framesCount = (n + FrameLength - 1) / FrameLength
+    var totalBits = 0L
+    var f = 0
+    while (f < framesCount) {
+      val end = math.min(n, (f + 1) * FrameLength)
+      var w = 1
+      var i = f * FrameLength
+      while (i < end) {
+        val vw = Bits.widthOfByte(data(i))
+        if (vw > w) w = vw
+        i += 1
+      }
+      totalBits += w.toLong * (end - f * FrameLength)
+      f += 1
+    }
+    Varint.sizeUnsigned(n.toLong).toLong + framesCount + (totalBits + 7) / 8
+  }
+}
+
+/** Run-Length codec over bytes, per the reference's design spec
+  * (/root/reference/IMPLEMENTATION-PLAN.md:81-152): runs of equal bytes
+  * become (value, count) pairs. We widen counts to varints; `maxRun`
+  * reproduces the spec's 255-cap by splitting long runs
+  * (IMPLEMENTATION-PLAN.md:125-148). Block: [varint n][varint runCount]
+  * [(value byte, count varint)...]. */
+case object RleBytes extends ByteCodec {
+  val id = 2
+  val name = "rle"
+
+  def encode(data: Array[Byte]): Array[Byte] = encode(data, Long.MaxValue)
+
+  def encode(data: Array[Byte], maxRun: Long): Array[Byte] = {
+    val runs = collectRuns(data, maxRun)
+    val out = new ByteArrayOutputStream(16 + runs.length * 3)
+    Varint.writeUnsigned(out, data.length.toLong)
+    Varint.writeUnsigned(out, runs.length.toLong)
+    runs.foreach { case (v, c) =>
+      out.write(v & 0xff)
+      Varint.writeUnsigned(out, c)
+    }
+    out.toByteArray
+  }
+
+  def collectRuns(data: Array[Byte], maxRun: Long): Array[(Byte, Long)] = {
+    if (data.isEmpty) return Array.empty
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Byte, Long)]
+    var runVal = data(0)
+    var runLen = 1L
+    var i = 1
+    while (i < data.length) {
+      if (data(i) == runVal && runLen < maxRun) runLen += 1L
+      else { runs += ((runVal, runLen)); runVal = data(i); runLen = 1L }
+      i += 1
+    }
+    runs += ((runVal, runLen))
+    runs.toArray
+  }
+
+  def decode(block: Array[Byte]): Array[Byte] = {
+    val cur = new ByteCursor(block)
+    val n = cur.readUnsignedVarint().toInt
+    val runCount = cur.readUnsignedVarint().toInt
+    val out = new Array[Byte](n)
+    var pos = 0
+    var r = 0
+    while (r < runCount) {
+      val v = cur.readByte().toByte
+      val c = cur.readUnsignedVarint().toInt
+      java.util.Arrays.fill(out, pos, pos + c, v)
+      pos += c
+      r += 1
+    }
+    out
+  }
+
+  /** Exact encoded size for a given cap. */
+  def sizeOf(data: Array[Byte], maxRun: Long = Long.MaxValue): Long = {
+    if (data.isEmpty) return 2L
+    var size = Varint.sizeUnsigned(data.length.toLong).toLong
+    var runCount = 0L
+    var runVal = data(0)
+    var runLen = 1L
+    var i = 1
+    var runBytes = 0L
+    def close(): Unit = { runCount += 1; runBytes += 1L + Varint.sizeUnsigned(runLen) }
+    while (i < data.length) {
+      if (data(i) != runVal || runLen == maxRun) { close(); runVal = data(i); runLen = 1L }
+      else runLen += 1L
+      i += 1
+    }
+    close()
+    size + Varint.sizeUnsigned(runCount) + runBytes
+  }
+}

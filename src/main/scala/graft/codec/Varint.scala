@@ -1,0 +1,55 @@
+package graft.codec
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+/** Unsigned LEB128 varints + zigzag, used by codec block headers and by
+  * the RLE/dict codecs for counts and lengths (we widen the reference's
+  * uint8 run counts to varint; a maxRun cap mode keeps spec parity —
+  * /root/reference/IMPLEMENTATION-PLAN.md:125-148). */
+object Varint {
+
+  def writeUnsigned(out: ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  @inline def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  @inline def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  def writeSigned(out: ByteArrayOutputStream, value: Long): Unit =
+    writeUnsigned(out, zigzag(value))
+
+  def sizeUnsigned(value: Long): Int = {
+    var v = value; var n = 1
+    while ((v & ~0x7fL) != 0L) { v >>>= 7; n += 1 }
+    n
+  }
+
+  def sizeSigned(value: Long): Int = sizeUnsigned(zigzag(value))
+}
+
+/** Simple sequential byte reader for decoding codec blocks. */
+final class ByteCursor(val buf: Array[Byte], var pos: Int = 0) {
+  def readUnsignedVarint(): Long = {
+    var shift = 0; var out = 0L; var b = 0
+    do {
+      b = buf(pos) & 0xff
+      pos += 1
+      out |= (b & 0x7fL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    out
+  }
+  def readSignedVarint(): Long = Varint.unzigzag(readUnsignedVarint())
+  def readByte(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+  def readBytes(n: Int): Array[Byte] = {
+    val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
+    pos += n
+    out
+  }
+  def remaining: Int = buf.length - pos
+}

@@ -1,0 +1,103 @@
+package graft.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+class ColumnCodecSpec extends AnyFunSuite with GenDriven {
+
+  private val longCols: Gen[(Array[Long], Array[Boolean])] = for {
+    n <- Gen.chooseNum(0, 600)
+    seed <- Gen.chooseNum(0L, Long.MaxValue)
+    withNulls <- Gen.oneOf(true, false)
+    mode <- Gen.oneOf("ts", "random", "const")
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    val values = mode match {
+      case "ts"     => Array.fill(n)(1751587200000000L + rnd.nextInt(1 << 20).toLong)
+      case "random" => Array.fill(n)(rnd.nextLong())
+      case "const"  => Array.fill(n)(42L)
+    }
+    val nulls = if (withNulls && n > 0) Array.fill(n)(rnd.nextInt(5) == 0) else null
+    (values, nulls)
+  }
+
+  private val bytesCols: Gen[Array[Array[Byte]]] = for {
+    n <- Gen.chooseNum(0, 400)
+    seed <- Gen.chooseNum(0L, Long.MaxValue)
+    mode <- Gen.oneOf("lowcard", "text", "binaryish", "withnulls", "empty_strings")
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    val langs = Array("en", "de", "fr", "pl", "ja", "zh", "es", "pt", "ru", "it")
+    Array.fill[Array[Byte]](n)(mode match {
+      case "lowcard"  => langs(rnd.nextInt(langs.length)).getBytes("UTF-8")
+      case "text"     => (s"doc ${rnd.nextInt(1000)} the quick brown fox " * (1 + rnd.nextInt(3))).getBytes("UTF-8")
+      case "binaryish" => { val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b }
+      case "withnulls" => if (rnd.nextInt(4) == 0) null else s"v${rnd.nextInt(50)}".getBytes("UTF-8")
+      case "empty_strings" => if (rnd.nextBoolean()) Array.emptyByteArray else "x".getBytes("UTF-8")
+    })
+  }
+
+  test("long column round-trip with and without nulls") {
+    forAll(longCols) { case (values, nulls) =>
+      val enc = ColumnCodec.encodeLongs(values, nulls)
+      val (back, backNulls) = ColumnCodec.decodeLongs(enc.bytes)
+      if (nulls == null || !nulls.exists(identity)) {
+        // an all-false mask is canonicalized to "no nulls"
+        assert(backNulls == null)
+        assert(back.toSeq == values.toSeq)
+      } else {
+        assert(backNulls.toSeq == nulls.toSeq)
+        values.indices.foreach(i => if (!nulls(i)) assert(back(i) == values(i)))
+      }
+    }
+  }
+
+  test("bytes column round-trip incl. nulls and empty strings") {
+    forAll(bytesCols) { values =>
+      val enc = ColumnCodec.encodeBytes(values)
+      val back = ColumnCodec.decodeBytes(enc.bytes)
+      assert(back.length == values.length)
+      values.indices.foreach { i =>
+        if (values(i) == null) assert(back(i) == null)
+        else assert(back(i).toSeq == values(i).toSeq, s"row $i codec=${enc.codecName}")
+      }
+    }
+  }
+
+  test("north-rule bound: encoded block <= reference FL file on same bytes") {
+    forAll(bytesCols) { values =>
+      val enc = ColumnCodec.encodeBytes(values)
+      assert(enc.bytes.length.toLong <= enc.flBaselineBytes,
+        s"codec=${enc.codecName} ${enc.bytes.length} > ${enc.flBaselineBytes}")
+    }
+    forAll(longCols) { case (values, nulls) =>
+      val enc = ColumnCodec.encodeLongs(values, nulls)
+      assert(enc.bytes.length.toLong <= enc.flBaselineBytes,
+        s"codec=${enc.codecName} ${enc.bytes.length} > ${enc.flBaselineBytes}")
+    }
+  }
+
+  test("selector picks the right codec per constructed column") {
+    // constant long column -> RLE
+    val constEnc = ColumnCodec.encodeLongs(Array.fill(1000)(7L))
+    assert(constEnc.codecName == "rle_i64", constEnc.codecName)
+    // narrow-range timestamps -> FOR or delta
+    val ts = Array.iterate(1751587200000000L, 1000)(_ + 1000L)
+    val tsEnc = ColumnCodec.encodeLongs(ts)
+    assert(Set("for_bitpack", "delta_for").contains(tsEnc.codecName), tsEnc.codecName)
+    // low-cardinality strings -> dict
+    val langs = Array("en", "de", "fr")
+    val rnd = new scala.util.Random(3)
+    val langCol = Array.fill(2000)(langs(rnd.nextInt(3)).getBytes("UTF-8"))
+    val langEnc = ColumnCodec.encodeBytes(langCol)
+    assert(langEnc.codecName == "dict", langEnc.codecName)
+    // boilerplate-heavy text -> fsst composite
+    val texts = Array.tabulate(500)(i =>
+      s"Breaking news item $i: the committee announced that the quarterly report shows steady growth".getBytes("UTF-8"))
+    val textEnc = ColumnCodec.encodeBytes(texts)
+    assert(textEnc.codecName.startsWith("fsst"), textEnc.codecName)
+    // all codecs compress vs raw
+    assert(langEnc.bytes.length < langEnc.rawBytes / 4)
+    assert(textEnc.bytes.length < textEnc.rawBytes / 2)
+  }
+}
