@@ -1,0 +1,44 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.codec.ColumnCodec
+import graft.model.{EncodedChunk, Page}
+
+/** Mirror image of EncodeJob: chunks decode independently (the §1.1
+  * chunk-independence invariant), so this is a shuffle-free mapPartitions.
+  * Decoded columns are bit-identical to the encoder's input — the
+  * north_rule invariant, asserted by VerifyJob and the e2e suite. */
+object DecodeJob {
+
+  def run(spark: SparkSession, outDir: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read.parquet(EncodeJob.chunksDir(outDir)).as[EncodedChunk]
+      .mapPartitions(_.flatMap(decodeChunk))
+  }
+
+  def decodeChunk(chunk: EncodedChunk): Iterator[Page] = {
+    val byName = chunk.cols.map(c => c.name -> c.block).toMap
+    val urls = ColumnCodec.decodeBytes(byName("url"))
+    val (tsMicros, tsNulls) = ColumnCodec.decodeLongs(byName("warc_ts"))
+    val htmls = ColumnCodec.decodeBytes(byName("html"))
+    val texts = ColumnCodec.decodeBytes(byName("text"))
+    val langs = ColumnCodec.decodeBytes(byName("lang"))
+    val n = chunk.rows.toInt
+    Iterator.tabulate(n) { i =>
+      val ts =
+        if (tsNulls != null && tsNulls(i)) null
+        else {
+          val micros = tsMicros(i)
+          val t = new java.sql.Timestamp(math.floorDiv(micros, 1000000L) * 1000L)
+          t.setNanos((math.floorMod(micros, 1000000L) * 1000L).toInt)
+          t
+        }
+      Page(
+        new String(urls(i), UTF_8), ts, htmls(i),
+        new String(texts(i), UTF_8), new String(langs(i), UTF_8))
+    }
+  }
+}

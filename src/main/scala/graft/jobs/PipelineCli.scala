@@ -1,0 +1,86 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.WebtextGen
+
+/** spark-submit entrypoint for the encode/decode/verify pipeline
+  * (north_rule: "run via spark-submit on a multi-executor cluster").
+  *
+  * Usage (args after the subcommand):
+  *   gen    <outParquet> <nDocs> [seed] [skewShare]
+  *   encode <inParquet> <outDir> [partitions] [pidUpperBound]
+  *   decode <outDir> <decodedParquet>
+  *   verify <inParquet> <outDir>
+  *   stats  <outDir>
+  *
+  * Master/memory come from spark-submit; standalone runs honor
+  * SPARK_GRAFT_CPUS (default local[4]).
+  */
+object PipelineCli {
+
+  def session(app: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val b = SparkSession.builder().appName(app)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // under spark-submit the master is injected; standalone runs local
+    val withMaster = if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    args.toList match {
+      case "gen" :: out :: n :: rest =>
+        val spark = session("graft-gen")
+        val seed = rest.headOption.map(_.toLong).getOrElse(42L)
+        val skew = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.0)
+        WebtextGen.pages(spark, n.toLong, seed = seed, skewShare = skew)
+          .write.mode("overwrite").parquet(out)
+        println(s"""{"op":"gen","rows":$n,"out":"$out"}""")
+        spark.stop()
+
+      case "encode" :: in :: outDir :: rest =>
+        val spark = session("graft-encode")
+        import spark.implicits._
+        val parts = rest.headOption.map(_.toInt).getOrElse(32)
+        val cap = rest.drop(1).headOption.map(_.toInt)
+        val input = spark.read.parquet(in).as[graft.model.Page]
+        val r = EncodeJob.run(spark, input, outDir,
+          EncodeJob.Config(numPartitions = parts, pidUpperBound = cap))
+        val gbps = r.rawBytes / 1e9 / (r.wallNanos / 1e9)
+        println(f"""{"op":"encode","pidsEncoded":${r.pidsEncoded},"pidsSkipped":${r.pidsSkipped},"rows":${r.rows},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.encBytes.toDouble / math.max(1, r.rawBytes)}%.4f,"wallSec":${r.wallNanos / 1e9}%.2f,"gbps":$gbps%.3f}""")
+        spark.stop()
+
+      case "decode" :: outDir :: out :: Nil =>
+        val spark = session("graft-decode")
+        DecodeJob.run(spark, outDir).write.mode("overwrite").parquet(out)
+        println(s"""{"op":"decode","out":"$out"}""")
+        spark.stop()
+
+      case "verify" :: in :: outDir :: Nil =>
+        val spark = session("graft-verify")
+        import spark.implicits._
+        val source = spark.read.parquet(in).as[graft.model.Page]
+        val report = VerifyJob.run(spark, source, DecodeJob.run(spark, outDir))
+        println(s"""{"op":"verify","ok":${report.ok},"source":${report.sourceRows},"decoded":${report.decodedRows},"joined":${report.joinedRows},"textMismatches":${report.textMismatches},"htmlMismatches":${report.htmlMismatches},"tsMismatches":${report.tsMismatches},"langMismatches":${report.langMismatches}}""")
+        spark.stop()
+        if (!report.ok) sys.exit(1)
+
+      case "stats" :: outDir :: Nil =>
+        val spark = session("graft-stats")
+        val m = spark.read.parquet(EncodeJob.manifestDir(outDir))
+        m.orderBy("pid").show(100, truncate = false)
+        spark.stop()
+
+      case other =>
+        System.err.println(s"unknown args: ${other.mkString(" ")}")
+        System.err.println("usage: gen|encode|decode|verify|stats ... (see scaladoc)")
+        sys.exit(2)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.model
+
+/** Input row shape, exactly BASELINE.json `input_hint`:
+  * (url:string, warc_ts:timestamp, html:binary, text:string, lang:string). */
+final case class Page(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** One encoded column block within a chunk. */
+final case class EncodedColumn(
+    name: String,
+    codec: String,
+    block: Array[Byte],
+    rawBytes: Long,
+    encBytes: Long,
+    flBaselineBytes: Long)
+
+/** The unit of encoded storage: one bounded run of rows of one logical
+  * partition (pid), all five columns encoded independently. Spark analog
+  * of the reference's per-rank FLCompressed + its 128-aligned concat
+  * invariant (/root/reference/src/fl/fl_common.cuh:95-151): chunks are
+  * self-contained, ordered by (pid, blockIdx, urlMin), and decode
+  * independently with no cross-chunk state. */
+final case class EncodedChunk(
+    pid: Int,
+    blockIdx: Int,
+    rows: Long,
+    urlMin: String,
+    urlMax: String,
+    rawBytes: Long,
+    encBytes: Long,
+    flBaselineBytes: Long,
+    encodeNanos: Long,
+    textCrc32: Long,
+    cols: Seq[EncodedColumn])
+
+/** Per-partition lineage manifest row (north_rule: resumable with
+  * per-partition lineage + metrics). Derived by aggregating the chunk
+  * table after a successful write — the manifest describes data that is
+  * actually on disk. */
+final case class PartitionManifest(
+    pid: Int,
+    blocks: Long,
+    rows: Long,
+    urlMin: String,
+    urlMax: String,
+    rawBytes: Long,
+    encBytes: Long,
+    flBaselineBytes: Long,
+    encodeNanos: Long,
+    textCrc32Xor: Long,
+    codecs: Map[String, String],
+    attemptId: String,
+    finishedAtEpochMs: Long)

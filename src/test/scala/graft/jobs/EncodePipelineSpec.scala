@@ -1,0 +1,103 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.WebtextGen
+
+/** End-to-end encode -> decode -> verify (SURVEY.md §5.5): the north_rule
+  * invariants at pipeline level. */
+class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
+
+  test("e2e round-trip: byte-identical columns, size <= reference FL") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-e2e")
+    val source = WebtextGen.pages(spark, 1000L, seed = 42L).cache()
+
+    val res = EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 8))
+    assert(res.rows == 1000L)
+    assert(res.encBytes > 0 && res.encBytes <= res.flBaselineBytes,
+      s"enc=${res.encBytes} flBaseline=${res.flBaselineBytes}")
+
+    val decoded = DecodeJob.run(spark, outDir)
+    val report = VerifyJob.run(spark, source, decoded)
+    assert(report.ok, report.toString)
+
+    // manifest covers all pids, has lineage fields
+    val manifest = spark.read.parquet(EncodeJob.manifestDir(outDir))
+    assert(manifest.select(sum($"rows")).as[Long].head() == 1000L)
+    assert(manifest.select($"codecs").count() == manifest.count())
+    val codecs = manifest.select(explode(map_values($"codecs"))).as[String].collect().toSet
+    assert(codecs.nonEmpty)
+    source.unpersist()
+  }
+
+  test("resume: interrupted run skips completed partitions, identical result") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-resume")
+    val source = WebtextGen.pages(spark, 2000L, seed = 7L).cache()
+    val cfg = EncodeJob.Config(numPartitions = 8)
+
+    // wave 1 = the "interrupted" run: only pids < 4 commit
+    val r1 = EncodeJob.run(spark, source, outDir, cfg.copy(pidUpperBound = Some(4)))
+    val manifest1 = spark.read.parquet(EncodeJob.manifestDir(outDir))
+    val pids1 = manifest1.select($"pid").as[Int].collect().toSet
+    assert(pids1.nonEmpty && pids1.forall(_ < 4))
+    val attempt1 = manifest1.select($"attemptId").distinct().as[String].collect().toSet
+
+    // resume: full run skips wave-1 pids
+    val r2 = EncodeJob.run(spark, source, outDir, cfg)
+    assert(r2.pidsSkipped == pids1.size.toLong)
+    val manifest2 = spark.read.parquet(EncodeJob.manifestDir(outDir))
+    // wave-1 rows were not re-encoded: their manifest rows keep attempt 1
+    val attemptsByPid = manifest2.select($"pid", $"attemptId").as[(Int, String)].collect().toMap
+    pids1.foreach(p => assert(attempt1.contains(attemptsByPid(p))))
+    assert(manifest2.count() == manifest2.select($"pid").distinct().count(), "one manifest row per pid")
+
+    // a third run is a no-op
+    val r3 = EncodeJob.run(spark, source, outDir, cfg)
+    assert(r3.pidsEncoded == 0L)
+
+    // and the final decoded table is exactly the source
+    val report = VerifyJob.run(spark, source, DecodeJob.run(spark, outDir))
+    assert(report.ok, report.toString)
+    source.unpersist()
+  }
+
+  test("skew: a host with 50% of rows still yields bounded partition spread") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-skew")
+    val source = WebtextGen.pages(spark, 20000L, seed = 13L, skewShare = 0.5)
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 16))
+    val rowsPerPid = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .groupBy($"pid").agg(sum($"rows").as("n")).select($"n").as[Long].collect()
+    val avg = rowsPerPid.sum.toDouble / rowsPerPid.length
+    assert(rowsPerPid.max <= 3.0 * avg,
+      s"max=${rowsPerPid.max} avg=$avg — url-range bounds did not absorb host skew")
+    // round-trip still holds under skew
+    val report = VerifyJob.run(spark, source, DecodeJob.run(spark, outDir))
+    assert(report.ok, report.toString)
+  }
+
+  test("per-column codec choices are data-appropriate") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-codecsel")
+    val source = WebtextGen.pages(spark, 3000L, seed = 1L)
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 4))
+    val perCol = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .select(explode($"cols").as("c")).select($"c.name", $"c.codec", $"c.rawBytes", $"c.encBytes")
+      .groupBy($"name").agg(
+        concat_ws(",", sort_array(collect_set($"codec"))).as("codecs"),
+        sum($"rawBytes").as("raw"), sum($"encBytes").as("enc"))
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // lang: ~10 distinct short strings -> dict everywhere
+    assert(perCol("lang")._2 == "dict", perCol("lang").toString)
+    // lang compresses massively
+    assert(perCol("lang")._4 < perCol("lang")._3 / 8)
+    // text/html: fsst-family or dict, never plain
+    assert(!perCol("text")._2.contains("plain"), perCol("text").toString)
+    assert(perCol("text")._4 < perCol("text")._3)
+    assert(perCol("html")._4 < perCol("html")._3)
+  }
+}
