@@ -1,13 +1,168 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.Queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per operator (SURVEY.md §2 Table B + the
+  * training-pipeline ops); `oracleSql` holds the DuckDB-equivalent SQL
+  * with identical column names/types. Byte-level codec ops have no SQL
+  * oracle (rows-only check) and are covered by the ScalaTest suites. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001: the codec engine applied to `documents` —
+    * selector choice + realized compression per column. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qEncodeStats(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // codec-engine stats / oracles
+    "q_frame_width" -> (qFrameWidth(_, _)),
+    "q_rle_runs" -> (qRleRuns(_, _)),
+    "q_runlen_hist" -> (qRunlenHist(_, _)),
+    "q_dict_stats" -> (qDictStats(_, _)),
+    "q_codec_select" -> (qCodecSelect(_, _)),
+    "q_for_frames" -> (qForFrames(_, _)),
+    "q_encode_stats" -> (qEncodeStats(_, _)),
+    // relational surface
+    "q_scan_project" -> (qScanProject(_, _)),
+    "q_join_segments" -> (qJoinSegments(_, _)),
+    "q_topk_sources" -> (qTopkSources(_, _)),
+    "q_set_pending" -> (qSetPending(_, _)),
+    "q_window_running" -> (qWindowRunning(_, _)),
+    "q_ntile_ranges" -> (qNtileRanges(_, _)),
+    "q_agg_rollup" -> (qAggRollup(_, _)),
+    // training-data pipeline ops
+    "q_dedup_exact" -> (qDedupExact(_, _)),
+    "q_token_count" -> (qTokenCount(_, _)),
+    "q_lang_id" -> (qLangId(_, _)),
+    "q_quality_score" -> (qQualityScore(_, _)),
+    "q_fingerprint" -> (qFingerprint(_, _)),
+    "q_minhash_lsh" -> (qMinhashLsh(_, _)),
+    "q_simhash" -> (qSimhash(_, _)),
+    "q_embed_topk" -> (qEmbedTopk(_, _)),
+    "q_embed_lsh_buckets" -> (qEmbedLshBuckets(_, _)),
+    "q_binary_meta" -> (qBinaryMeta(_, _)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_frame_width" ->
+      """SELECT CAST(floor(doc_id / 128) AS BIGINT) AS frame,
+        |       CAST(greatest(1, max(length(bin(n_chars)))) AS BIGINT) AS frame_bits,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_rle_runs" ->
+      """WITH s AS (SELECT l_returnflag AS v,
+        |                  row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |           FROM lineitem),
+        |b AS (SELECT v, rn,
+        |             CASE WHEN lag(v) OVER (ORDER BY rn) IS NULL
+        |                    OR lag(v) OVER (ORDER BY rn) <> v THEN 1 ELSE 0 END AS brk
+        |      FROM s),
+        |r AS (SELECT v, CAST(sum(brk) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |      FROM b)
+        |SELECT run_id, min(v) AS val, count(*) AS run_len FROM r GROUP BY run_id""".stripMargin,
+    "q_runlen_hist" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |                  CASE WHEN lag(lang) OVER (ORDER BY doc_id) IS NULL
+        |                         OR lag(lang) OVER (ORDER BY doc_id) <> lang THEN 1 ELSE 0 END AS brk
+        |           FROM documents),
+        |r AS (SELECT lang, CAST(sum(brk) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |      FROM b),
+        |g AS (SELECT run_id, lang, count(*) AS run_len FROM r GROUP BY run_id, lang)
+        |SELECT lang, count(*) AS n_runs, max(run_len) AS max_run FROM g GROUP BY lang""".stripMargin,
+    "q_dict_stats" ->
+      """SELECT lang, count(*) AS cnt, count(DISTINCT source) AS ndv_source,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_codec_select" ->
+      """SELECT source, count(*) AS n, count(DISTINCT lang) AS ndv,
+        |       CAST(sum(length(lang)) AS BIGINT) AS payload,
+        |       CASE WHEN count(DISTINCT lang) = 1 THEN 'rle'
+        |            WHEN count(DISTINCT lang) <= 256 THEN 'dict'
+        |            ELSE 'fsst' END AS codec
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_for_frames" ->
+      """SELECT date_trunc('month', o_orderdate) AS m, count(*) AS cnt,
+        |       min(o_orderdate) AS ts_min, max(o_orderdate) AS ts_max
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_scan_project" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0""".stripMargin,
+    "q_join_segments" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_topk_sources" ->
+      """SELECT source, count(*) AS cnt FROM documents
+        |GROUP BY source ORDER BY cnt DESC, source LIMIT 10""".stripMargin,
+    "q_set_pending" ->
+      """SELECT CAST(doc_id % 16 AS BIGINT) AS pid FROM documents
+        |EXCEPT
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS pid FROM documents WHERE doc_id % 16 < 6""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM events""".stripMargin,
+    "q_ntile_ranges" ->
+      """WITH x AS (SELECT doc_id, CAST(ntile(16) OVER (ORDER BY doc_id) AS BIGINT) AS bucket FROM documents)
+        |SELECT bucket, count(*) AS cnt, min(doc_id) AS lo, max(doc_id) AS hi FROM x GROUP BY bucket""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """SELECT lang,
+        |       CASE WHEN text LIKE '% the %' OR text LIKE '% and %' OR text LIKE '% of %' THEN 'en'
+        |            WHEN text LIKE '% der %' OR text LIKE '% und %' OR text LIKE '% die %' THEN 'de'
+        |            WHEN text LIKE '% le %' OR text LIKE '% la %' OR text LIKE '% et %' THEN 'fr'
+        |            ELSE 'und' END AS lang_pred,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sent_marks,
+        |       CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capwords,
+        |       CAST(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END AS BIGINT) AS len_ok
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(substr(text, 1, 64)) AS prefix_fp,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, substr(text, CAST(u AS INT), 8) AS s
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
+        |        FROM documents)),
+        |sig AS (
+        |  SELECT doc_id, min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+        |         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
+        |  FROM sh GROUP BY doc_id)
+        |SELECT h0 AS bucket, count(*) AS cnt, min(doc_id) AS min_doc FROM sig GROUP BY h0""".stripMargin,
+    "q_embed_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT vec_id,
+        |         list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS dot,
+        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |         sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings, q)
+        |SELECT vec_id, round(dot / (na * nb), 4) AS cos_sim FROM d
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_embed_lsh_buckets" ->
+      ("""SELECT CAST(""" + (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ") +
+        """ AS BIGINT) AS bucket, count(*) AS cnt, min(vec_id) AS min_vec
+          |FROM embeddings GROUP BY 1""".stripMargin),
+    "q_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_hash, substr(text, 1, 4) AS magic
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+final case class DocRow(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+final case class ColStatRow(column: String, codec: String, rawBytes: Long, encBytes: Long, flBaselineBytes: Long)
+
+/** Driver-facing operator queries over /root/testdata tables.
+  *
+  * Each query has a DuckDB-equivalent oracle (SparkEntry.oracleSql) unless
+  * stated; column names and types are aligned between both engines
+  * (integer aggregates preferred; doubles rounded). They exercise the
+  * engine surface from SURVEY.md §2 Table B: scans, filters, joins,
+  * aggregations, windows (the RLE/prefix-scan oracles), set ops, top-k,
+  * plus the training-data-pipeline ops (dedup, MinHash/LSH, language-ID,
+  * quality scoring, fingerprinting, ANN similarity).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------ codec stats
+
+  /** A7 analog: per-frame max bit width of n_chars, frame = 128 docs. */
+  def qFrameWidth(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select((floor($"doc_id" / 128)).cast("bigint").as("frame"),
+        length(bin($"n_chars")).as("w"))
+      .groupBy($"frame")
+      .agg(greatest(lit(1), max($"w")).cast("bigint").as("frame_bits"), count(lit(1)).as("cnt"))
+
+  /** A27 oracle: RLE runs of l_returnflag over a deterministic total order. */
+  def qRleRuns(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = Window.orderBy($"l_orderkey", $"l_linenumber")
+    val byRn = Window.orderBy($"rn")
+    val s = li.select($"l_returnflag".as("v"), row_number().over(ord).as("rn"))
+    val b = s.withColumn("brk",
+      when(lag($"v", 1).over(byRn).isNull || lag($"v", 1).over(byRn) =!= $"v", 1).otherwise(0))
+    val r = b.withColumn("run_id", sum($"brk").over(byRn.rowsBetween(Window.unboundedPreceding, 0)))
+    r.groupBy($"run_id").agg(min($"v").as("val"), count(lit(1)).as("run_len"))
+  }
+
+  /** Run-length stats per lang over doc_id order (selector stats pass). */
+  def qRunlenHist(spark: SparkSession, dir: String): DataFrame = {
+    val byId = Window.orderBy($"doc_id")
+    val b = t(spark, dir, "documents")
+      .select($"doc_id", $"lang")
+      .withColumn("brk",
+        when(lag($"lang", 1).over(byId).isNull || lag($"lang", 1).over(byId) =!= $"lang", 1).otherwise(0))
+    val r = b.withColumn("run_id", sum($"brk").over(byId.rowsBetween(Window.unboundedPreceding, 0)))
+    r.groupBy($"run_id", $"lang").agg(count(lit(1)).as("run_len"))
+      .groupBy($"lang").agg(count(lit(1)).as("n_runs"), max($"run_len").as("max_run"))
+  }
+
+  /** Dictionary-candidate stats: cardinality + sizes per lang. */
+  def qDictStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").groupBy($"lang").agg(
+      count(lit(1)).as("cnt"),
+      countDistinct($"source").as("ndv_source"),
+      sum($"n_chars").as("total_chars"),
+      min($"n_chars").as("min_chars"),
+      max($"n_chars").as("max_chars"))
+
+  /** The codec selector's decision rule, SQL-expressed (per source). */
+  def qCodecSelect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").groupBy($"source").agg(
+      count(lit(1)).as("n"),
+      countDistinct($"lang").as("ndv"),
+      sum(length($"lang")).cast("bigint").as("payload"))
+      .withColumn("codec",
+        when($"ndv" === 1, "rle").when($"ndv" <= 256, "dict").otherwise("fsst"))
+
+  /** FOR framing stats: month frames of o_orderdate. */
+  def qForFrames(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("cnt"), min($"o_orderdate").as("ts_min"), max($"o_orderdate").as("ts_max"))
+
+  // --------------------------------------------------------- relational ops
+
+  /** Projection + predicate pushdown to the parquet scan. */
+  def qScanProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 200000.0)
+      .select($"o_orderkey", $"o_totalprice")
+
+  /** Broadcast equi-join + rollup (verification-join analog). */
+  def qJoinSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("bigint")).as("total_cents"))
+  }
+
+  /** Top-k skewed groups (salting decision input). */
+  def qTopkSources(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").groupBy($"source").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"source").limit(10)
+
+  /** Resume set-op: pending = all pids EXCEPT completed. */
+  def qSetPending(spark: SparkSession, dir: String): DataFrame = {
+    val pids = t(spark, dir, "documents").select(($"doc_id" % 16).cast("bigint").as("pid"))
+    pids.except(pids.filter($"pid" < 6))
+  }
+
+  /** Prefix-scan analog (A13): running per-user cents over event time. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(spark, dir, "events").select($"event_id", $"user_id",
+      sum(round($"value" * 100).cast("bigint")).over(w).as("running_cents"))
+  }
+
+  /** Range-partitioner analog: ntile buckets over the sort key. */
+  def qNtileRanges(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id", ntile(16).over(Window.orderBy($"doc_id")).cast("bigint").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+
+  // ------------------------------------------------- training-pipeline ops
+
+  /** Exact dedup groups by content hash. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").groupBy(md5($"text".cast("binary")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keep_id"))
+
+  /** Token/char counting (whitespace tokenizer). */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      $"doc_id",
+      length($"text").cast("bigint").as("n_chars_m"),
+      size(split($"text", " ", -1)).cast("bigint").as("n_tokens"))
+
+  /** Heuristic language-ID vs the labeled lang column. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val pred = when($"text".like("% the %") || $"text".like("% and %") || $"text".like("% of %"), "en")
+      .when($"text".like("% der %") || $"text".like("% und %") || $"text".like("% die %"), "de")
+      .when($"text".like("% le %") || $"text".like("% la %") || $"text".like("% et %"), "fr")
+      .otherwise("und")
+    t(spark, dir, "documents").select($"lang", pred.as("lang_pred"))
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quality-scoring features: sentence marks, capitalized words, length band. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      $"doc_id",
+      size(regexp_extract_all($"text", lit("[.!?]"), lit(0))).cast("bigint").as("n_sent_marks"),
+      size(regexp_extract_all($"text", lit("[A-Z][a-z]+"), lit(0))).cast("bigint").as("n_capwords"),
+      when(length($"text").between(100, 20000), 1L).otherwise(0L).as("len_ok"))
+
+  /** Document fingerprint: prefix hash + length (near-dup prefilter). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      $"doc_id",
+      md5(substring($"text", 1, 64).cast("binary")).as("prefix_fp"),
+      octet_length($"text").cast("bigint").as("n_bytes"))
+
+  /** MinHash signatures over 8-char shingles (stride 4), 4 hash families,
+    * then LSH banding: bucket docs by their h0 band. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sh = docs.select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
+      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
+    val sig = sh.groupBy($"doc_id").agg(
+      min(md5(concat(lit("0"), $"s").cast("binary"))).as("h0"),
+      min(md5(concat(lit("1"), $"s").cast("binary"))).as("h1"),
+      min(md5(concat(lit("2"), $"s").cast("binary"))).as("h2"),
+      min(md5(concat(lit("3"), $"s").cast("binary"))).as("h3"))
+    sig.groupBy($"h0".as("bucket")).agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_doc"))
+  }
+
+  /** SimHash (no SQL oracle — bit twiddling; rows-only check): 16-bit
+    * sign-aggregated token hash per doc. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ", -1)).as("tk"))
+      .filter(length($"tk") > 0)
+      .select($"doc_id", conv(substring(md5($"tk".cast("binary")), 1, 15), 16, 10).cast("bigint").as("h"))
+    val bitCols = (0 until 16).map { b =>
+      sum(when((shiftright($"h", b) % 2) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 16).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select($"doc_id", sim.cast("bigint").as("simhash16"))
+  }
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector. */
+  def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val nrm = (c: String) => expr(
+      s"sqrt(aggregate($c, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    e.crossJoin(broadcast(q))
+      .select($"vec_id", round(dot / (nrm("embedding") * nrm("qv")), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id").limit(20)
+  }
+
+  /** LSH bucketing for ANN: sign bits of the first 8 dimensions. */
+  def qEmbedLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (1 to 8).map(i =>
+      when(element_at($"embedding", i) > 0f, lit(1L << (i - 1))).otherwise(0L)).reduce(_ + _)
+    t(spark, dir, "embeddings")
+      .select(bucket.cast("bigint").as("bucket"), $"vec_id")
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt"), min($"vec_id").as("min_vec"))
+  }
+
+  /** Multimodal plumbing: binary metadata extraction (bytes, hash, magic). */
+  def qBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      $"doc_id",
+      octet_length($"text").cast("bigint").as("n_bytes"),
+      md5($"text".cast("binary")).as("content_hash"),
+      substring($"text", 1, 4).as("magic"))
+
+  /** Two-column rollup (metrics rollup analog). */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("chars"))
+
+  /** Flagship: the engine itself applied to the documents table — per
+    * column, which codec the stats-driven selector picked and the realized
+    * sizes. Byte-level op, no SQL oracle (rows-only check). */
+  def qEncodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.codec.ColumnCodec
+    import org.apache.spark.sql.Encoders
+    val docs = t(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[DocRow](Encoders.product[DocRow])
+    docs.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        def enc(name: String, e: ColumnCodec.Encoded) =
+          ColStatRow(name, e.codecName, e.rawBytes, e.bytes.length.toLong, e.flBaselineBytes)
+        Iterator(
+          enc("doc_id", ColumnCodec.encodeLongs(rows.map(_.doc_id))),
+          enc("text", ColumnCodec.encodeBytes(rows.map(_.text.getBytes(utf8)))),
+          enc("lang", ColumnCodec.encodeBytes(rows.map(_.lang.getBytes(utf8)))),
+          enc("source", ColumnCodec.encodeBytes(rows.map(_.source.getBytes(utf8)))),
+          enc("n_chars", ColumnCodec.encodeLongs(rows.map(_.n_chars))))
+      }
+    }(Encoders.product[ColStatRow]).toDF()
+      .groupBy($"column")
+      .agg(
+        concat_ws(",", sort_array(collect_set($"codec"))).as("codecs"),
+        sum($"rawBytes").as("raw_bytes"),
+        sum($"encBytes").as("enc_bytes"),
+        sum($"flBaselineBytes").as("fl_baseline_bytes"),
+        round(sum($"encBytes") / sum($"rawBytes"), 4).as("ratio"))
+  }
+
+  // Spark Column implicits
+  private implicit class Str(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
