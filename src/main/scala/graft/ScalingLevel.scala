@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.jobs.EncodeJob
+import graft.model.Page
+
+/** One measured parallelism level of the scaling bench, run in its OWN JVM
+  * (spawned by [[ScalingBench]]): JIT-warms with a 10% encode pass, then
+  * runs EncodeJob `reps` times on fresh output dirs and prints the best
+  * run as one JSON line. Fresh-JVM-per-level isolates levels from each
+  * other's heap aging and JIT state — measurement hygiene, not semantics. */
+object ScalingLevel {
+
+  def session(cpus: Int, parts: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", math.max(cpus, parts))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def rmrf(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(path))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(pagesPath, work, cpusS, partsS, repsS) = args.take(5)
+    val (cpus, parts, reps) = (cpusS.toInt, partsS.toInt, repsS.toInt)
+
+    val spark = session(cpus, parts)
+    import spark.implicits._
+    val input = spark.read.parquet(pagesPath).as[Page]
+
+    // JIT warmup inside THIS jvm: full pipeline on a 10% subset
+    val warmDir = s"$work/warm_$cpus"
+    rmrf(warmDir)
+    val n = input.count()
+    EncodeJob.run(spark, input.limit((n / 10).toInt.max(1)), warmDir,
+      EncodeJob.Config(numPartitions = parts))
+
+    val best = (1 to reps).map { rep =>
+      val outDir = s"$work/enc_$cpus"
+      rmrf(outDir)
+      val r = EncodeJob.run(spark, input, outDir, EncodeJob.Config(numPartitions = parts))
+      System.err.println(f"[level] local[$cpus] rep$rep: wall ${r.wallNanos / 1e9}%.2f s " +
+        f"(bounds ${r.boundsNanos / 1e9}%.2f, encode ${r.encodeNanos / 1e9}%.2f, " +
+        f"manifest ${r.manifestNanos / 1e9}%.2f)")
+      r
+    }.minBy(_.wallNanos)
+    spark.stop()
+
+    println(f"""{"cpus":$cpus,"wallSec":${best.wallNanos / 1e9}%.3f,"encodeSec":${best.encodeNanos / 1e9}%.3f,"rawBytes":${best.rawBytes},"encBytes":${best.encBytes},"flBaselineBytes":${best.flBaselineBytes},"gbps":${best.rawBytes / 1e9 / (best.wallNanos / 1e9)}%.4f}""")
+  }
+}

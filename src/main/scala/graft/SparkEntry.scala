@@ -41,7 +41,10 @@ object SparkEntry {
     "q_simhash" -> (qSimhash(_, _)),
     "q_embed_topk" -> (qEmbedTopk(_, _)),
     "q_embed_lsh_buckets" -> (qEmbedLshBuckets(_, _)),
-    "q_binary_meta" -> (qBinaryMeta(_, _)))
+    "q_binary_meta" -> (qBinaryMeta(_, _)),
+    "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
+    "q_embed_neardup" -> (qEmbedNeardup(_, _)),
+    "q_mm_decode" -> (qMmDecode(_, _)))
 
   def oracleSql: Map[String, String] = Map(
     "q_frame_width" ->
@@ -164,5 +167,42 @@ object SparkEntry {
     "q_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_hash, substr(text, 1, 4) AS magic
+        |FROM documents""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 8) AS s
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |sig AS (SELECT doc_id, min(md5('0' || s)) AS bucket FROM sh GROUP BY doc_id),
+        |okb AS (SELECT bucket FROM sig GROUP BY bucket HAVING count(*) BETWEEN 2 AND 16),
+        |mem AS (SELECT sig.doc_id, sig.bucket FROM sig JOIN okb USING (bucket)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM mem a JOIN mem b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |com AS (SELECT doc_a, doc_b, count(*) AS common
+        |        FROM pairs JOIN sh sa ON doc_a = sa.doc_id
+        |                   JOIN sh sb ON doc_b = sb.doc_id AND sa.s = sb.s
+        |        GROUP BY doc_a, doc_b)
+        |SELECT p.doc_a, p.doc_b,
+        |       round(COALESCE(com.common, 0) / (na.n_sh + nb.n_sh - COALESCE(com.common, 0)), 4) AS jaccard
+        |FROM pairs p LEFT JOIN com USING (doc_a, doc_b)
+        |JOIN sizes na ON p.doc_a = na.doc_id
+        |JOIN sizes nb ON p.doc_b = nb.doc_id""".stripMargin,
+    "q_embed_neardup" ->
+      ("""WITH e AS (SELECT vec_id, embedding, CAST(""" + (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ") +
+        """ AS BIGINT) AS bucket FROM embeddings),
+          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |  round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+          |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          |  , 4) AS cos_sim
+          | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.25""".stripMargin),
+    "q_mm_decode" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(160 + (strlen(text) % 32) * 16 AS BIGINT) AS fake_w,
+        |       CAST(120 + ((CASE WHEN strlen(text) = 0 THEN 0 ELSE unicode(substr(text, 1, 1)) END) % 24) * 16 AS BIGINT) AS fake_h,
+        |       CAST(1 + strlen(text) % 16 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin)
 }

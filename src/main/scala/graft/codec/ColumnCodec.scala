@@ -204,13 +204,21 @@ object ColumnCodec {
       }
     }
 
-    // composite candidate: lengths (exact best long codec) + payload codec
+    // composite candidate: lengths (exact best long codec) + payload codec.
+    // The FSST table is trained ONCE here and reused by the real encode if
+    // FSST wins (training is the expensive half of the FSST path).
     val lenSize = Seq(ForLongs.sizeOf(lengths), RleLongs.sizeOf(lengths), DeltaLongs.sizeOf(lengths)).min
+    val fsstSample: Array[Byte] =
+      if (payload.length >= 256) FsstBytes.sample(payload) else null
+    val fsstTable: FsstBytes.SymbolTable =
+      if (fsstSample != null) FsstBytes.train(fsstSample) else null
     val payloadCandidates: Seq[(String, Long)] = Seq(
       RleBytes.name -> RleBytes.sizeOf(payload),
       FlBytes.name -> FlBytes.sizeOf(payload),
       PlainBytes.name -> (payload.length.toLong + 9),
-      FsstBytes.name -> (if (payload.length >= 256) FsstBytes.estimateSize(payload) else Long.MaxValue))
+      FsstBytes.name -> (if (fsstTable != null)
+        FsstBytes.estimateSizeWithTable(payload, fsstSample, fsstTable)
+      else Long.MaxValue))
     val (bestPayloadName, bestPayloadSize) = payloadCandidates.minBy(_._2)
     val compositeSize = lenSize + bestPayloadSize + 2
 
@@ -257,7 +265,10 @@ object ColumnCodec {
           val pName = composite.stripSuffix("+lens")
           val pCodec = ByteCodecs.all.find(_.name == pName).get
           out.write(pCodec.id)
-          val pb = pCodec.encode(payload)
+          val pb =
+            if (pCodec == FsstBytes && fsstTable != null)
+              FsstBytes.encodeWithTable(payload, fsstTable) // reuse trained table
+            else pCodec.encode(payload)
           out.write(pb, 0, pb.length)
       }
       out.toByteArray

@@ -71,7 +71,7 @@ case object FsstBytes extends ByteCodec {
 
   // ---------------------------------------------------------------- train
 
-  private def sample(data: Array[Byte]): Array[Byte] =
+  private[codec] def sample(data: Array[Byte]): Array[Byte] =
     if (data.length <= MaxSampleBytes) data
     else {
       // stride-sample contiguous 1 KiB pieces across the whole payload so
@@ -90,27 +90,45 @@ case object FsstBytes extends ByteCodec {
     }
 
   final case class SymbolTable(symbols: Array[Array[Byte]]) {
-    // bucket by first byte, longest symbols first
-    val buckets: Array[Array[Int]] = {
-      val tmp = Array.fill(256)(List.empty[Int])
+    // two-level match index: symbols of length >= 2 bucketed by their first
+    // TWO bytes (longest first), single-byte symbols in a direct 256-entry
+    // code lookup. Cuts the per-position candidate scan to the handful of
+    // symbols sharing a 2-byte prefix.
+    private val pairBuckets: Array[Array[Int]] = {
+      val tmp = new java.util.HashMap[Integer, List[Int]]()
       symbols.zipWithIndex.foreach { case (sym, idx) =>
-        val b = sym(0) & 0xff
-        tmp(b) = idx :: tmp(b)
+        if (sym.length >= 2) {
+          val key = ((sym(0) & 0xff) << 8) | (sym(1) & 0xff)
+          tmp.merge(key, List(idx), (a, b) => b ::: a)
+        }
       }
-      tmp.map(_.sortBy(i => -symbols(i).length).toArray)
+      val out = new Array[Array[Int]](65536)
+      tmp.forEach { (k, v) => out(k) = v.sortBy(i => -symbols(i).length).toArray }
+      out
+    }
+    private val singleCode: Array[Int] = {
+      val out = Array.fill(256)(-1)
+      symbols.zipWithIndex.foreach { case (sym, idx) =>
+        if (sym.length == 1) out(sym(0) & 0xff) = idx
+      }
+      out
     }
 
     /** Longest symbol matching data at pos, or -1. */
     def findLongest(data: Array[Byte], pos: Int): Int = {
-      val bucket = buckets(data(pos) & 0xff)
-      var k = 0
-      while (k < bucket.length) {
-        val idx = bucket(k)
-        val sym = symbols(idx)
-        if (pos + sym.length <= data.length && matches(data, pos, sym)) return idx
-        k += 1
+      if (pos + 1 < data.length) {
+        val bucket = pairBuckets(((data(pos) & 0xff) << 8) | (data(pos + 1) & 0xff))
+        if (bucket != null) {
+          var k = 0
+          while (k < bucket.length) {
+            val idx = bucket(k)
+            val sym = symbols(idx)
+            if (pos + sym.length <= data.length && matches(data, pos, sym)) return idx
+            k += 1
+          }
+        }
       }
-      -1
+      singleCode(data(pos) & 0xff)
     }
 
     @inline private def matches(data: Array[Byte], pos: Int, sym: Array[Byte]): Boolean = {
@@ -214,10 +232,15 @@ case object FsstBytes extends ByteCodec {
   def estimateSize(data: Array[Byte]): Long = {
     if (data.isEmpty) return 3L
     val s = sample(data)
-    val table = train(s)
-    val enc = encodeWithTable(s, table)
+    estimateSizeWithTable(data, s, train(s))
+  }
+
+  /** Same estimate given an already-trained table (lets the selector train
+    * once and reuse the table for the real encode if FSST wins). */
+  def estimateSizeWithTable(data: Array[Byte], sampleData: Array[Byte], table: SymbolTable): Long = {
+    val enc = encodeWithTable(sampleData, table)
     val tableBytes = 1L + table.symbols.map(_.length + 1).sum
-    val codesRatio = (enc.length.toLong - tableBytes).toDouble / s.length
+    val codesRatio = (enc.length.toLong - tableBytes).toDouble / sampleData.length
     (codesRatio * data.length).toLong + tableBytes + 10L
   }
 }

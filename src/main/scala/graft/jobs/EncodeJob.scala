@@ -55,7 +55,10 @@ object EncodeJob {
       rawBytes: Long,
       encBytes: Long,
       flBaselineBytes: Long,
-      wallNanos: Long)
+      wallNanos: Long,
+      boundsNanos: Long = 0L,
+      encodeNanos: Long = 0L,
+      manifestNanos: Long = 0L)
 
   def chunksDir(outDir: String) = s"$outDir/chunks"
   def manifestDir(outDir: String) = s"$outDir/manifest"
@@ -136,6 +139,7 @@ object EncodeJob {
     val t0 = System.nanoTime()
 
     val bounds = loadOrComputeBounds(spark, input, outDir, cfg)
+    val tBounds = System.nanoTime()
     val boundsBc = spark.sparkContext.broadcast(bounds)
 
     val completed: Set[Int] =
@@ -151,22 +155,32 @@ object EncodeJob {
 
     val targetBytes = cfg.targetBlockBytes
     val maxRows = cfg.maxBlockRows
+    // Hash repartition on the (already range-derived) pid: pids are dense
+    // ints in [0, numPartitions], so hashing spreads them ~1 per task
+    // WITHOUT the extra sampling pass a repartitionByRange would run over
+    // the whole input. Two pids hashing to one task is fine: the kernel
+    // cuts chunks at pid boundaries, so output is identical either way.
     val chunks = withPid
-      .repartitionByRange(cfg.numPartitions, $"pid")
+      .repartition(cfg.numPartitions, $"pid")
       .sortWithinPartitions($"pid", $"url")
       .as[PidPage]
       .mapPartitions(it => encodePartition(it, targetBytes, maxRows))
 
     chunks.write.mode(SaveMode.Append).parquet(chunksDir(outDir))
+    val tEncode = System.nanoTime()
 
     // manifest derived from what is actually on disk, restricted to the
-    // pids this run produced (append-safe for resume)
+    // pids this run produced (append-safe for resume). Payload columns are
+    // pruned out before the aggregation — only metadata bytes are re-read.
     val attemptId = java.util.UUID.randomUUID().toString
-    val onDisk = spark.read.parquet(chunksDir(outDir)).as[EncodedChunk]
-      .filter(c => !completedBc.value.contains(c.pid))
+    val onDisk = spark.read.parquet(chunksDir(outDir))
+      .select($"pid", $"rows", $"urlMin", $"urlMax", $"rawBytes", $"encBytes",
+        $"flBaselineBytes", $"encodeNanos", $"textCrc32",
+        arrays_zip($"cols.name".as("col"), $"cols.codec".as("codec")).as("colCodecs"))
+      .filter(!$"pid".isin(completed.toSeq: _*))
     val codecsPerPid = onDisk
-      .flatMap(c => c.cols.map(col => (c.pid, col.name, col.codec)))
-      .toDF("pid", "col", "codec")
+      .select($"pid", explode($"colCodecs").as("cc"))
+      .select($"pid", $"cc.col".as("col"), $"cc.codec".as("codec"))
       .groupBy($"pid", $"col").agg(concat_ws("|", sort_array(collect_set($"codec"))).as("codec"))
       .groupBy($"pid").agg(map_from_entries(sort_array(collect_list(struct($"col", $"codec")))).as("codecs"))
     val manifest = onDisk
@@ -197,7 +211,10 @@ object EncodeJob {
       rawBytes = stats._3.getOrElse(0L),
       encBytes = stats._4.getOrElse(0L),
       flBaselineBytes = stats._5.getOrElse(0L),
-      wallNanos = System.nanoTime() - t0)
+      wallNanos = System.nanoTime() - t0,
+      boundsNanos = tBounds - t0,
+      encodeNanos = tEncode - tBounds,
+      manifestNanos = System.nanoTime() - tEncode)
   }
 
   /** Per-partition kernel: consume (pid,url)-sorted rows, cut a chunk at

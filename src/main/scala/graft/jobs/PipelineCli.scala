@@ -26,6 +26,13 @@ object PipelineCli {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scan-parallelism knob: the default 128m packs a small bench input
+      // into one or two scan tasks, serializing the pid-map stage. 16m
+      // keeps every core busy at bench scale; at real scale (multi-GB
+      // inputs) either value yields full parallelism.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "16m"))
+      .config("spark.sql.files.openCostInBytes", "1m")
     // under spark-submit the master is injected; standalone runs local
     val withMaster = if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
     val s = withMaster.getOrCreate()
@@ -53,7 +60,7 @@ object PipelineCli {
         val r = EncodeJob.run(spark, input, outDir,
           EncodeJob.Config(numPartitions = parts, pidUpperBound = cap))
         val gbps = r.rawBytes / 1e9 / (r.wallNanos / 1e9)
-        println(f"""{"op":"encode","pidsEncoded":${r.pidsEncoded},"pidsSkipped":${r.pidsSkipped},"rows":${r.rows},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.encBytes.toDouble / math.max(1, r.rawBytes)}%.4f,"wallSec":${r.wallNanos / 1e9}%.2f,"gbps":$gbps%.3f}""")
+        println(f"""{"op":"encode","pidsEncoded":${r.pidsEncoded},"pidsSkipped":${r.pidsSkipped},"rows":${r.rows},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.encBytes.toDouble / math.max(1, r.rawBytes)}%.4f,"wallSec":${r.wallNanos / 1e9}%.2f,"boundsSec":${r.boundsNanos / 1e9}%.2f,"encodeSec":${r.encodeNanos / 1e9}%.2f,"manifestSec":${r.manifestNanos / 1e9}%.2f,"gbps":$gbps%.3f}""")
         spark.stop()
 
       case "decode" :: outDir :: out :: Nil =>

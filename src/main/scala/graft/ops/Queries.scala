@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 final case class DocRow(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+final case class MediaMeta(doc_id: Long, n_bytes: Long, fake_w: Long, fake_h: Long, n_frames: Long)
 final case class ColStatRow(column: String, codec: String, rawBytes: Long, encBytes: Long, flBaselineBytes: Long)
 
 /** Driver-facing operator queries over /root/testdata tables.
@@ -223,6 +224,83 @@ object Queries {
       octet_length($"text").cast("bigint").as("n_bytes"),
       md5($"text".cast("binary")).as("content_hash"),
       substring($"text", 1, 4).as("magic"))
+
+  /** Exact n-gram Jaccard near-dup verification over LSH candidates:
+    * MinHash h0 buckets propose pairs (bucket size capped 2..16), then the
+    * true Jaccard over distinct 8-gram shingles is computed for each pair
+    * by a shingle equi-join. The LSH->exact-verify shape is the one that
+    * scales: pairs are bounded per bucket, never all-pairs. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sh = docs.select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
+      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val sig = sh.groupBy($"doc_id").agg(min(md5(concat(lit("0"), $"s").cast("binary"))).as("bucket"))
+    val okBuckets = sig.groupBy($"bucket").agg(count(lit(1)).as("bcnt"))
+      .filter($"bcnt".between(2, 16))
+    val members = sig.join(okBuckets, "bucket")
+    val pairs = members.as("a").join(members.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val common = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+    pairs.join(common, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"common" / ($"na" + $"nb" - $"common"), 4).as("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs within a sign-LSH bucket (the
+    * bucketed self-join bounds candidate pairs; brute-force all-pairs is
+    * never materialized). */
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (1 to 8).map(i =>
+      when(element_at($"embedding", i) > 0f, lit(1L << (i - 1))).otherwise(0L)).reduce(_ + _)
+    val e = t(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", bucket.cast("bigint").as("bucket"))
+    val dot = expr(
+      "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val nrm = (c: String) => expr(
+      s"sqrt(aggregate($c, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
+      .select($"vec_a", $"vec_b",
+        round(dot / (nrm("a_emb") * nrm("b_emb")), 4).as("cos_sim"))
+      .filter($"cos_sim" >= 0.25)
+  }
+
+  /** Multimodal decode stub: media payloads are opaque bytes decoded in
+    * batched mapPartitions (the real Spark plumbing — typed batches,
+    * partition-parallel); the decoder itself is a deterministic fake
+    * (no image/audio libs in this sandbox), deriving width/height/frames
+    * from the payload bytes. */
+  def qMmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val docs = t(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[DocRow](Encoders.product[DocRow])
+    docs.mapPartitions { it =>
+      it.grouped(256).flatMap { batch => // batch shape mirrors a real decode UDF
+        batch.iterator.map { r =>
+          val payload = r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nBytes = payload.length.toLong
+          val first = if (payload.nonEmpty) r.text.codePointAt(0).toLong else 0L
+          MediaMeta(r.doc_id, nBytes,
+            160L + (nBytes % 32L) * 16L,
+            120L + (first % 24L) * 16L,
+            1L + nBytes % 16L)
+        }
+      }
+    }(Encoders.product[MediaMeta]).toDF()
+  }
 
   /** Two-column rollup (metrics rollup analog). */
   def qAggRollup(spark: SparkSession, dir: String): DataFrame =
