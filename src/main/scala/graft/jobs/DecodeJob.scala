@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.codec.ColumnCodec
+import graft.sources.TableIO
 import graft.model.{EncodedChunk, Page}
 
 /** Mirror image of EncodeJob: chunks decode independently (the §1.1
@@ -15,7 +16,7 @@ object DecodeJob {
 
   def run(spark: SparkSession, outDir: String): Dataset[Page] = {
     import spark.implicits._
-    spark.read.parquet(EncodeJob.chunksDir(outDir)).as[EncodedChunk]
+    TableIO.read(spark, EncodeJob.chunksDir(outDir)).as[EncodedChunk]
       .mapPartitions(_.flatMap(decodeChunk))
   }
 
@@ -26,6 +27,14 @@ object DecodeJob {
     val htmls = ColumnCodec.decodeBytes(byName("html"))
     val texts = ColumnCodec.decodeBytes(byName("text"))
     val langs = ColumnCodec.decodeBytes(byName("lang"))
+    // lineage check: decoded text must reproduce the CRC the encoder
+    // recorded for this chunk — corruption fails fast, at the chunk that
+    // broke, instead of surfacing later as a verify-join mismatch
+    val crc = new java.util.zip.CRC32()
+    texts.foreach(t => if (t != null) crc.update(t))
+    require(crc.getValue == chunk.textCrc32,
+      s"chunk pid=${chunk.pid} blockIdx=${chunk.blockIdx}: decoded text CRC " +
+        s"${crc.getValue} != recorded ${chunk.textCrc32} (corrupt block?)")
     val n = chunk.rows.toInt
     Iterator.tabulate(n) { i =>
       val ts =

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.codec.ColumnCodec
 import graft.model._
+import graft.sources.TableIO
 
 /** Distributed per-column encode.
   *
@@ -144,7 +145,7 @@ object EncodeJob {
 
     val completed: Set[Int] =
       if (cfg.resume && Files.exists(Paths.get(manifestDir(outDir))))
-        spark.read.parquet(manifestDir(outDir)).select($"pid").as[Int].collect().toSet
+        TableIO.read(spark, manifestDir(outDir)).select($"pid").as[Int].collect().toSet
       else Set.empty
     val completedBc = spark.sparkContext.broadcast(completed)
 
@@ -166,14 +167,14 @@ object EncodeJob {
       .as[PidPage]
       .mapPartitions(it => encodePartition(it, targetBytes, maxRows))
 
-    chunks.write.mode(SaveMode.Append).parquet(chunksDir(outDir))
+    TableIO.write(chunks.toDF(), chunksDir(outDir), SaveMode.Append)
     val tEncode = System.nanoTime()
 
     // manifest derived from what is actually on disk, restricted to the
     // pids this run produced (append-safe for resume). Payload columns are
     // pruned out before the aggregation — only metadata bytes are re-read.
     val attemptId = java.util.UUID.randomUUID().toString
-    val onDisk = spark.read.parquet(chunksDir(outDir))
+    val onDisk = TableIO.read(spark, chunksDir(outDir))
       .select($"pid", $"rows", $"urlMin", $"urlMax", $"rawBytes", $"encBytes",
         $"flBaselineBytes", $"encodeNanos", $"textCrc32",
         arrays_zip($"cols.name".as("col"), $"cols.codec".as("codec")).as("colCodecs"))
@@ -199,9 +200,9 @@ object EncodeJob {
       .withColumn("attemptId", lit(attemptId))
       .withColumn("finishedAtEpochMs", lit(System.currentTimeMillis()))
       .as[PartitionManifest]
-    manifest.write.mode(SaveMode.Append).parquet(manifestDir(outDir))
+    TableIO.write(manifest.toDF(), manifestDir(outDir), SaveMode.Append)
 
-    val stats = spark.read.parquet(manifestDir(outDir))
+    val stats = TableIO.read(spark, manifestDir(outDir))
       .agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
       .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])].head()
     Result(

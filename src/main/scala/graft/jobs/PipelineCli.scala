@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.WebtextGen
+import graft.sources.{TableIO, WebtextGen}
 
 /** spark-submit entrypoint for the encode/decode/verify pipeline
   * (north_rule: "run via spark-submit on a multi-executor cluster").
@@ -46,8 +46,8 @@ object PipelineCli {
         val spark = session("graft-gen")
         val seed = rest.headOption.map(_.toLong).getOrElse(42L)
         val skew = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.0)
-        WebtextGen.pages(spark, n.toLong, seed = seed, skewShare = skew)
-          .write.mode("overwrite").parquet(out)
+        TableIO.write(WebtextGen.pages(spark, n.toLong, seed = seed, skewShare = skew)
+          .toDF(), out, org.apache.spark.sql.SaveMode.Overwrite)
         println(s"""{"op":"gen","rows":$n,"out":"$out"}""")
         spark.stop()
 
@@ -56,7 +56,7 @@ object PipelineCli {
         import spark.implicits._
         val parts = rest.headOption.map(_.toInt).getOrElse(32)
         val cap = rest.drop(1).headOption.map(_.toInt)
-        val input = spark.read.parquet(in).as[graft.model.Page]
+        val input = TableIO.read(spark, in).as[graft.model.Page]
         val r = EncodeJob.run(spark, input, outDir,
           EncodeJob.Config(numPartitions = parts, pidUpperBound = cap))
         val gbps = r.rawBytes / 1e9 / (r.wallNanos / 1e9)
@@ -65,14 +65,14 @@ object PipelineCli {
 
       case "decode" :: outDir :: out :: Nil =>
         val spark = session("graft-decode")
-        DecodeJob.run(spark, outDir).write.mode("overwrite").parquet(out)
+        TableIO.write(DecodeJob.run(spark, outDir).toDF(), out, org.apache.spark.sql.SaveMode.Overwrite)
         println(s"""{"op":"decode","out":"$out"}""")
         spark.stop()
 
       case "verify" :: in :: outDir :: Nil =>
         val spark = session("graft-verify")
         import spark.implicits._
-        val source = spark.read.parquet(in).as[graft.model.Page]
+        val source = TableIO.read(spark, in).as[graft.model.Page]
         val report = VerifyJob.run(spark, source, DecodeJob.run(spark, outDir))
         println(s"""{"op":"verify","ok":${report.ok},"source":${report.sourceRows},"decoded":${report.decodedRows},"joined":${report.joinedRows},"textMismatches":${report.textMismatches},"htmlMismatches":${report.htmlMismatches},"tsMismatches":${report.tsMismatches},"langMismatches":${report.langMismatches}}""")
         spark.stop()
@@ -80,7 +80,7 @@ object PipelineCli {
 
       case "stats" :: outDir :: Nil =>
         val spark = session("graft-stats")
-        val m = spark.read.parquet(EncodeJob.manifestDir(outDir))
+        val m = TableIO.read(spark, EncodeJob.manifestDir(outDir))
         m.orderBy("pid").show(100, truncate = false)
         spark.stop()
 

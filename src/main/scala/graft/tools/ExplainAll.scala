@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: dump formatted physical plans for every SparkEntry query so
+  * pushdown/broadcast/codegen can be audited. Not part of the driver
+  * contract. Usage: runMain graft.tools.ExplainAll [queryName ...] */
+object ExplainAll {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted = args.toSet
+    graft.SparkEntry.queries
+      .filter { case (k, _) => wanted.isEmpty || wanted(k) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        println(s"\n===================== $name =====================")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+      }
+    spark.stop()
+  }
+}

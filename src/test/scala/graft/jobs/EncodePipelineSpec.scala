@@ -80,6 +80,21 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(report.ok, report.toString)
   }
 
+  test("decode fails fast when a chunk's recorded text CRC does not match") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-crc")
+    val source = WebtextGen.pages(spark, 500L, seed = 3L)
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 2))
+    val chunks = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .as[graft.model.EncodedChunk].collect()
+    val tampered = chunks.map(c => c.copy(textCrc32 = c.textCrc32 ^ 1L))
+    spark.createDataset(tampered.toSeq).write.mode("overwrite")
+      .parquet(EncodeJob.chunksDir(outDir))
+    val ex = intercept[Exception] { DecodeJob.run(spark, outDir).count() }
+    assert(ex.toString.contains("CRC") ||
+      Option(ex.getCause).exists(_.toString.contains("CRC")), ex.toString)
+  }
+
   test("per-column codec choices are data-appropriate") {
     import spark.implicits._
     val outDir = tmpDir("graft-codecsel")
