@@ -47,6 +47,8 @@ object ScalingBench {
       effPrimary: Double,   // local[2] -> local[8]
       effSecondary: Double, // local[8] -> local[32]
       hwCeiling: Double,    // pure-CPU (T8/T32)/4 on this box
+      flOnly: LevelResult,  // reference-equivalent FL-only mode at local[32]
+      flOnlyEncBytes: Long,
       decodeSec: Double,
       decodeGbps: Double,
       verifyOk: Boolean) {
@@ -113,14 +115,15 @@ object ScalingBench {
     * the others' heap aging and JIT profile pollution. Returns the child's
     * one-line JSON parsed into a LevelResult plus the size fields. */
   private def runLevelIsolated(pagesPath: String, work: String, cpus: Int,
-                               parts: Int, reps: Int): (LevelResult, Long, Long, Long) = {
+                               parts: Int, reps: Int,
+                               mode: String = "auto"): (LevelResult, Long, Long, Long) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
-      "graft.ScalingLevel", pagesPath, work, cpus.toString, parts.toString, reps.toString)
+      "graft.ScalingLevel", pagesPath, work, cpus.toString, parts.toString, reps.toString, mode)
     val pb = new ProcessBuilder(cmd: _*)
     // child stderr (Spark logs + [level] lines) flows straight through;
     // only the one-line stdout JSON is captured (avoids pipe deadlock)
@@ -164,6 +167,12 @@ object ScalingBench {
     require(sizes._1 > 0L, "cpuLevels must include 32")
     val (rawB, encB, flB) = sizes
 
+    // reference-equivalent FL-only mode: same pipeline, codec fixed to the
+    // reference's FL bit-pack — the apples-to-apples throughput number
+    // (the reference repo published none; this is the comparable we emit)
+    val (flLvl, _, flEncB, _) = runLevelIsolated(pagesPath, work, 32, parts, reps, mode = "fl")
+    println(f"[scaling] local[32] fl-only best: wall ${flLvl.wallSec}%.2f s, ${flLvl.gbps}%.4f GB/s")
+
     println("[scaling] measuring pure-CPU hardware ceiling (8 vs 32 threads)...")
     val ceiling = hardwareCeiling()
     println(f"[scaling] hardware ceiling (T8/T32)/4 = $ceiling%.3f")
@@ -183,7 +192,7 @@ object ScalingBench {
     }
 
     ScalingResult(nDocs, rawB, encB, flB,
-      lvl, effPrimary, effSecondary, ceiling, decodeSec, decodeGbps, verifyOk)
+      lvl, effPrimary, effSecondary, ceiling, flLvl, flEncB, decodeSec, decodeGbps, verifyOk)
   }
 
   def renderMarkdown(r: ScalingResult): String = {
@@ -198,6 +207,10 @@ object ScalingBench {
     sb.append(f"- compressed: ${r.encBytes / 1e6}%.1f MB, ratio ${r.ratio}%.4f of raw, ")
     sb.append(f"${r.ratioVsFl}%.4f of the reference-FL baseline (bound: <= 1.0)\n")
     sb.append(f"- decode (local[32]): ${r.decodeSec}%.2f s, ${r.decodeGbps}%.3f GB/s raw-equivalent\n")
+    sb.append(f"- FL-only mode (reference-equivalent work, local[32]): ${r.flOnly.gbps}%.3f GB/s at ")
+    sb.append(f"ratio ${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f; the full selector trades ")
+    sb.append(f"${(1 - r.levels.last.gbps / r.flOnly.gbps) * 100}%.0f%% throughput for ")
+    sb.append(f"${(1 - r.encBytes.toDouble / r.flOnlyEncBytes) * 100}%.0f%% smaller output\n")
     sb.append(s"- round-trip verify (byte-identical per url): ${if (r.verifyOk) "PASS" else "FAIL"}\n\n")
     sb.append("| level | cores | encode wall s | encode-phase s | GB/s (raw/wall) |\n")
     sb.append("|---|---|---|---|---|\n")
@@ -205,20 +218,22 @@ object ScalingBench {
       sb.append(f"| local[${l.cpus}] | ${l.cpus} | ${l.wallSec}%.2f | ${l.encodeSec}%.2f | ${l.gbps}%.3f |\n")
     }
     sb.append(f"\n**Scaling efficiency N=2 -> 4N=8: ${r.effPrimary}%.3f** (target >= 0.8)\n\n")
-    sb.append(f"Secondary, whole-socket pair N=8 -> 4N=32: ${r.effSecondary}%.3f, against a\n")
-    sb.append(f"measured pure-CPU hardware ceiling of ${r.hwCeiling}%.3f on this box — 32\n")
-    sb.append("concurrent threads on this virtualized socket each run ~25-30% slower\n")
-    sb.append("than 8 do, so the whole-socket pair measures the box, not the job. On a\n")
-    sb.append("real N -> 4N executor cluster every added executor brings its own cores,\n")
-    sb.append("memory bandwidth and disks, which the 2 -> 8 pair models faithfully\n")
-    sb.append("(both levels uncontended).\n")
+    sb.append(f"Secondary, whole-socket pair N=8 -> 4N=32: ${r.effSecondary}%.3f; a pure-CPU\n")
+    sb.append(f"fixed-work calibration in the same run measured a ceiling of ${r.hwCeiling}%.3f\n")
+    sb.append("(this ceiling itself swings 0.74-0.98 across samples on this shared,\n")
+    sb.append("virtualized socket). Past ~8 threads the job also contends on shared\n")
+    sb.append("memory bandwidth and the single local disk for shuffle+output, so the\n")
+    sb.append("whole-socket pair measures the box, not the job. On a real N -> 4N\n")
+    sb.append("executor cluster every added executor brings its own cores, bandwidth\n")
+    sb.append("and disks, which the 2 -> 8 pair (both levels uncontended) models\n")
+    sb.append("faithfully.\n")
     sb.toString
   }
 
   def json(r: ScalingResult): String = {
     val levels = r.levels.map(l =>
       f"""{"cpus":${l.cpus},"wallSec":${l.wallSec}%.3f,"gbps":${l.gbps}%.4f}""").mkString("[", ",", "]")
-    f"""{"nDocs":${r.nDocs},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.ratio}%.4f,"ratioVsFl":${r.ratioVsFl}%.4f,"levels":$levels,"scalingEfficiency":${r.effPrimary}%.3f,"scalingEfficiency8to32":${r.effSecondary}%.3f,"hardwareCeiling8to32":${r.hwCeiling}%.3f,"decodeGbps":${r.decodeGbps}%.4f,"verifyOk":${r.verifyOk}}"""
+    f"""{"nDocs":${r.nDocs},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.ratio}%.4f,"ratioVsFl":${r.ratioVsFl}%.4f,"levels":$levels,"scalingEfficiency":${r.effPrimary}%.3f,"scalingEfficiency8to32":${r.effSecondary}%.3f,"hardwareCeiling8to32":${r.hwCeiling}%.3f,"flOnlyGbps":${r.flOnly.gbps}%.4f,"flOnlyRatio":${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f,"decodeGbps":${r.decodeGbps}%.4f,"verifyOk":${r.verifyOk}}"""
   }
 
   def main(args: Array[String]): Unit = {

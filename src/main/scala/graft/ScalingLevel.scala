@@ -38,6 +38,8 @@ object ScalingLevel {
   def main(args: Array[String]): Unit = {
     val Array(pagesPath, work, cpusS, partsS, repsS) = args.take(5)
     val (cpus, parts, reps) = (cpusS.toInt, partsS.toInt, repsS.toInt)
+    val mode = args.lift(5).getOrElse("auto") // "auto" | "fl"
+    val encDir = if (mode == "auto") s"$work/enc_$cpus" else s"$work/enc_${cpus}_$mode"
 
     val spark = session(cpus, parts)
     import spark.implicits._
@@ -48,13 +50,13 @@ object ScalingLevel {
     rmrf(warmDir)
     val n = input.count()
     EncodeJob.run(spark, input.limit((n / 10).toInt.max(1)), warmDir,
-      EncodeJob.Config(numPartitions = parts))
+      EncodeJob.Config(numPartitions = parts, codecMode = mode))
 
     val best = (1 to reps).map { rep =>
-      val outDir = s"$work/enc_$cpus"
-      rmrf(outDir)
-      val r = EncodeJob.run(spark, input, outDir, EncodeJob.Config(numPartitions = parts))
-      System.err.println(f"[level] local[$cpus] rep$rep: wall ${r.wallNanos / 1e9}%.2f s " +
+      rmrf(encDir)
+      val r = EncodeJob.run(spark, input, encDir,
+        EncodeJob.Config(numPartitions = parts, codecMode = mode))
+      System.err.println(f"[level] local[$cpus] $mode rep$rep: wall ${r.wallNanos / 1e9}%.2f s " +
         f"(bounds ${r.boundsNanos / 1e9}%.2f, encode ${r.encodeNanos / 1e9}%.2f, " +
         f"manifest ${r.manifestNanos / 1e9}%.2f)")
       r

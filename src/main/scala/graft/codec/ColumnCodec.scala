@@ -78,16 +78,19 @@ object ColumnCodec {
   // --------------------------------------------------------------- longs
 
   /** Encode a long column chunk; `nulls(i)` marks null rows (may be null).
-    * Values at null positions are ignored. */
-  def encodeLongs(values: Array[Long], nulls: Array[Boolean] = null): Encoded = {
+    * Values at null positions are ignored. `flOnly` skips the selector and
+    * emits the FL-bitpack form directly — the same work the reference's
+    * CPU path does (fl_cpu.cu:9-90), for apples-to-apples throughput. */
+  def encodeLongs(values: Array[Long], nulls: Array[Boolean] = null,
+                  flOnly: Boolean = false): Encoded = {
     val present =
       if (nulls == null) values
       else values.indices.collect { case i if !nulls(i) => values(i) }.toArray
     val rawBytes = 8L * values.length
 
-    val forSize = ForLongs.sizeOf(present)
-    val rleSize = RleLongs.sizeOf(present)
-    val deltaSize = DeltaLongs.sizeOf(present)
+    val forSize = if (flOnly) Long.MaxValue else ForLongs.sizeOf(present)
+    val rleSize = if (flOnly) Long.MaxValue else RleLongs.sizeOf(present)
+    val deltaSize = if (flOnly) Long.MaxValue else DeltaLongs.sizeOf(present)
     val plainSize = 8L * present.length + 9
 
     val plainLe = longsToLeBytes(present)
@@ -98,13 +101,14 @@ object ColumnCodec {
     val bitmapBytes = if (nulls != null && nulls.exists(identity)) (values.length + 7L) / 8L else 0L
     val flBaseline = ReferenceFl.fileSizeOf(plainLe) + bitmapBytes
 
-    val candidates: Seq[(String, Long)] = Seq(
-      ForLongs.name -> forSize,
-      RleLongs.name -> rleSize,
-      DeltaLongs.name -> deltaSize,
-      PlainLongs.name -> plainSize,
-      "fl_plain_i64" -> flSize)
-    val (winner, _) = candidates.minBy(_._2)
+    val (winner, _) =
+      if (flOnly) ("fl_plain_i64", flSize)
+      else Seq(
+        ForLongs.name -> forSize,
+        RleLongs.name -> rleSize,
+        DeltaLongs.name -> deltaSize,
+        PlainLongs.name -> plainSize,
+        "fl_plain_i64" -> flSize).minBy(_._2)
 
     val out = new ByteArrayOutputStream(64)
     writeHeader(out, values.length, nulls)
@@ -151,8 +155,10 @@ object ColumnCodec {
 
   // ------------------------------------------------------- bytes/strings
 
-  /** Encode a string/binary column chunk (null entries = null rows). */
-  def encodeBytes(values: Array[Array[Byte]]): Encoded = {
+  /** Encode a string/binary column chunk (null entries = null rows).
+    * `flOnly` skips the selector and emits the FL-bitpack-on-plain form
+    * directly (reference-equivalent work, see [[encodeLongs]]). */
+  def encodeBytes(values: Array[Array[Byte]], flOnly: Boolean = false): Encoded = {
     val n = values.length
     val nulls = if (values.exists(_ == null)) values.map(_ == null) else null
     val present = if (nulls == null) values else values.filter(_ != null)
@@ -177,7 +183,7 @@ object ColumnCodec {
     val flSize = FlBytes.sizeOf(plainStream)
 
     // dictionary candidate (exact): distinct values + best-codec codes
-    val dictCandidate: Option[(Long, Array[Array[Byte]], Array[Long])] = {
+    val dictCandidate: Option[(Long, Array[Array[Byte]], Array[Long])] = if (flOnly) None else {
       val map = new java.util.LinkedHashMap[java.nio.ByteBuffer, Integer]()
       val codes = new Array[Long](present.length)
       var ok = true
@@ -207,24 +213,28 @@ object ColumnCodec {
     // composite candidate: lengths (exact best long codec) + payload codec.
     // The FSST table is trained ONCE here and reused by the real encode if
     // FSST wins (training is the expensive half of the FSST path).
-    val lenSize = Seq(ForLongs.sizeOf(lengths), RleLongs.sizeOf(lengths), DeltaLongs.sizeOf(lengths)).min
+    val lenSize = if (flOnly) Long.MaxValue
+      else Seq(ForLongs.sizeOf(lengths), RleLongs.sizeOf(lengths), DeltaLongs.sizeOf(lengths)).min
     val fsstSample: Array[Byte] =
-      if (payload.length >= 256) FsstBytes.sample(payload) else null
+      if (!flOnly && payload.length >= 256) FsstBytes.sample(payload) else null
     val fsstTable: FsstBytes.SymbolTable =
       if (fsstSample != null) FsstBytes.train(fsstSample) else null
-    val payloadCandidates: Seq[(String, Long)] = Seq(
+    val payloadCandidates: Seq[(String, Long)] = if (flOnly) Seq.empty else Seq(
       RleBytes.name -> RleBytes.sizeOf(payload),
       FlBytes.name -> FlBytes.sizeOf(payload),
       PlainBytes.name -> (payload.length.toLong + 9),
       FsstBytes.name -> (if (fsstTable != null)
         FsstBytes.estimateSizeWithTable(payload, fsstSample, fsstTable)
       else Long.MaxValue))
-    val (bestPayloadName, bestPayloadSize) = payloadCandidates.minBy(_._2)
-    val compositeSize = lenSize + bestPayloadSize + 2
 
     val candidates: Seq[(String, Long)] =
-      Seq(s"$bestPayloadName+lens" -> compositeSize, "fl_plain" -> flSize) ++
-        dictCandidate.map { case (s, _, _) => "dict" -> s }
+      if (flOnly) Seq("fl_plain" -> flSize)
+      else {
+        val (bestPayloadName, bestPayloadSize) = payloadCandidates.minBy(_._2)
+        Seq(s"$bestPayloadName+lens" -> (lenSize + bestPayloadSize + 2),
+          "fl_plain" -> flSize) ++
+          dictCandidate.map { case (s, _, _) => "dict" -> s }
+      }
 
     var (winner, _) = candidates.minBy(_._2)
 

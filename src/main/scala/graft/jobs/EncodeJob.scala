@@ -47,7 +47,11 @@ object EncodeJob {
         * commit chunks+manifest. Repeated calls with a growing bound (or
         * None = all) give partition-granular resumability even though each
         * parquet write commit is atomic. */
-      pidUpperBound: Option[Int] = None)
+      pidUpperBound: Option[Int] = None,
+      /** "auto" = stats-driven selector (the engine); "fl" = FL bit-pack
+        * only, the exact work of the reference CPU path, for
+        * apples-to-apples throughput comparison. */
+      codecMode: String = "auto")
 
   final case class Result(
       pidsEncoded: Long,
@@ -156,6 +160,7 @@ object EncodeJob {
 
     val targetBytes = cfg.targetBlockBytes
     val maxRows = cfg.maxBlockRows
+    val flOnly = cfg.codecMode == "fl"
     // Hash repartition on the (already range-derived) pid: pids are dense
     // ints in [0, numPartitions], so hashing spreads them ~1 per task
     // WITHOUT the extra sampling pass a repartitionByRange would run over
@@ -165,7 +170,7 @@ object EncodeJob {
       .repartition(cfg.numPartitions, $"pid")
       .sortWithinPartitions($"pid", $"url")
       .as[PidPage]
-      .mapPartitions(it => encodePartition(it, targetBytes, maxRows))
+      .mapPartitions(it => encodePartition(it, targetBytes, maxRows, flOnly))
 
     TableIO.write(chunks.toDF(), chunksDir(outDir), SaveMode.Append)
     val tEncode = System.nanoTime()
@@ -222,7 +227,8 @@ object EncodeJob {
     * pid change / row cap / byte cap, encode all five columns. Pure Scala
     * (no Spark types inside) — the JVM analog of the reference's
     * cpuCompress kernel, applied per column. */
-  def encodePartition(it: Iterator[PidPage], targetBlockBytes: Long, maxBlockRows: Int): Iterator[EncodedChunk] = {
+  def encodePartition(it: Iterator[PidPage], targetBlockBytes: Long, maxBlockRows: Int,
+                      flOnly: Boolean = false): Iterator[EncodedChunk] = {
     new Iterator[EncodedChunk] {
       private var pending: PidPage = null
       private var blockIdxByPid = scala.collection.mutable.Map.empty[Int, Int]
@@ -243,12 +249,13 @@ object EncodeJob {
         }
         val idx = blockIdxByPid.getOrElse(pid, 0)
         blockIdxByPid(pid) = idx + 1
-        encodeChunk(pid, idx, buf.toArray)
+        encodeChunk(pid, idx, buf.toArray, flOnly)
       }
     }
   }
 
-  def encodeChunk(pid: Int, blockIdx: Int, rows: Array[PidPage]): EncodedChunk = {
+  def encodeChunk(pid: Int, blockIdx: Int, rows: Array[PidPage],
+                  flOnly: Boolean = false): EncodedChunk = {
     val t0 = System.nanoTime()
     val urls = rows.map(_.url.getBytes(UTF_8))
     val texts = rows.map(_.text.getBytes(UTF_8))
@@ -265,11 +272,11 @@ object EncodeJob {
     texts.foreach(t => crc.update(t))
 
     val encoded = Seq(
-      "url" -> ColumnCodec.encodeBytes(urls),
-      "warc_ts" -> ColumnCodec.encodeLongs(tsMicros, tsNulls),
-      "html" -> ColumnCodec.encodeBytes(htmls),
-      "text" -> ColumnCodec.encodeBytes(texts),
-      "lang" -> ColumnCodec.encodeBytes(langsB))
+      "url" -> ColumnCodec.encodeBytes(urls, flOnly),
+      "warc_ts" -> ColumnCodec.encodeLongs(tsMicros, tsNulls, flOnly),
+      "html" -> ColumnCodec.encodeBytes(htmls, flOnly),
+      "text" -> ColumnCodec.encodeBytes(texts, flOnly),
+      "lang" -> ColumnCodec.encodeBytes(langsB, flOnly))
     val cols = encoded.map { case (name, e) =>
       EncodedColumn(name, e.codecName, e.bytes, e.rawBytes, e.bytes.length.toLong, e.flBaselineBytes)
     }

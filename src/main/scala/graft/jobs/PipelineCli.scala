@@ -58,7 +58,8 @@ object PipelineCli {
         val cap = rest.drop(1).headOption.map(_.toInt)
         val input = TableIO.read(spark, in).as[graft.model.Page]
         val r = EncodeJob.run(spark, input, outDir,
-          EncodeJob.Config(numPartitions = parts, pidUpperBound = cap))
+          EncodeJob.Config(numPartitions = parts, pidUpperBound = cap,
+            codecMode = sys.env.getOrElse("SPARK_GRAFT_CODEC_MODE", "auto")))
         val gbps = r.rawBytes / 1e9 / (r.wallNanos / 1e9)
         println(f"""{"op":"encode","pidsEncoded":${r.pidsEncoded},"pidsSkipped":${r.pidsSkipped},"rows":${r.rows},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.encBytes.toDouble / math.max(1, r.rawBytes)}%.4f,"wallSec":${r.wallNanos / 1e9}%.2f,"boundsSec":${r.boundsNanos / 1e9}%.2f,"encodeSec":${r.encodeNanos / 1e9}%.2f,"manifestSec":${r.manifestNanos / 1e9}%.2f,"gbps":$gbps%.3f}""")
         spark.stop()

@@ -77,6 +77,26 @@ class ColumnCodecSpec extends AnyFunSuite with GenDriven {
     }
   }
 
+  test("flOnly mode: reference-equivalent FL form, round-trips, <= baseline") {
+    forAll(bytesCols) { values =>
+      val enc = ColumnCodec.encodeBytes(values, flOnly = true)
+      assert(enc.codecName == "fl_plain", enc.codecName)
+      assert(enc.bytes.length.toLong <= enc.flBaselineBytes)
+      val back = ColumnCodec.decodeBytes(enc.bytes)
+      values.indices.foreach { i =>
+        if (values(i) == null) assert(back(i) == null)
+        else assert(back(i).toSeq == values(i).toSeq)
+      }
+    }
+    forAll(longCols) { case (values, nulls) =>
+      val enc = ColumnCodec.encodeLongs(values, nulls, flOnly = true)
+      assert(enc.codecName == "fl_plain_i64", enc.codecName)
+      assert(enc.bytes.length.toLong <= enc.flBaselineBytes)
+      val (back, _) = ColumnCodec.decodeLongs(enc.bytes)
+      values.indices.foreach(i => if (nulls == null || !nulls(i)) assert(back(i) == values(i)))
+    }
+  }
+
   test("selector picks the right codec per constructed column") {
     // constant long column -> RLE
     val constEnc = ColumnCodec.encodeLongs(Array.fill(1000)(7L))
