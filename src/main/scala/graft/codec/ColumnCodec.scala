@@ -182,7 +182,10 @@ object ColumnCodec {
     val flBaseline = ReferenceFl.fileSizeOf(plainStream) + bitmapBytes
     val flSize = FlBytes.sizeOf(plainStream)
 
-    // dictionary candidate (exact): distinct values + best-codec codes
+    // dictionary candidate (exact): distinct values + best-codec codes.
+    // Early abort once the column is evidently near-unique (dict = payload
+    // + codes then, strictly worse than the composite form) — saves
+    // hashing the whole payload for url/text/html-like columns.
     val dictCandidate: Option[(Long, Array[Array[Byte]], Array[Long])] = if (flOnly) None else {
       val map = new java.util.LinkedHashMap[java.nio.ByteBuffer, Integer]()
       val codes = new Array[Long](present.length)
@@ -197,6 +200,7 @@ object ColumnCodec {
         }
         if (ok) codes(i) = idx.longValue()
         i += 1
+        if ((i & 1023) == 0 && map.size * 10 > i * 9) ok = false // >90% unique
       }
       if (!ok) None
       else {

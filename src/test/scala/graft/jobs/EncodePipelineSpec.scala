@@ -80,6 +80,19 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(report.ok, report.toString)
   }
 
+  test("null warc_ts rows survive the round trip (null bitmap path)") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-nullts")
+    val source = WebtextGen.pages(spark, 800L, seed = 11L)
+      .map(p => if (p.url.hashCode % 3 == 0) p.copy(warc_ts = null) else p)
+      .cache()
+    assert(source.filter(_.warc_ts == null).count() > 0)
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 4))
+    val report = VerifyJob.run(spark, source, DecodeJob.run(spark, outDir))
+    assert(report.ok, report.toString)
+    source.unpersist()
+  }
+
   test("decode fails fast when a chunk's recorded text CRC does not match") {
     import spark.implicits._
     val outDir = tmpDir("graft-crc")
