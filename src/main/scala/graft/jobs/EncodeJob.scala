@@ -28,6 +28,17 @@ import graft.sources.TableIO
   * `bounds.json`; pid assignment is a pure function of (url, bounds), so
   * an interrupted run re-derives identical pids and skips every pid
   * already present in the manifest.
+  *
+  * Skewed hosts (north_rule "salting for skewed hosts"): the partition
+  * key is the full url, which is unique per row, so a host that owns 50%
+  * of the table is NOT a skewed shuffle key — the quantile bounds are
+  * sampled at url granularity and fall *inside* the hot host's url space,
+  * splitting it across as many pids as its share warrants. This subsumes
+  * explicit salt columns (salting exists to split one over-frequent key;
+  * here no key repeats) and keeps pid ranges contiguous for the manifest.
+  * The skew test (EncodePipelineSpec) pins the resulting spread at <= 3x
+  * the mean under a 50%-single-host distribution. AQE skew-join handles
+  * the verify-join side.
   */
 /** Shuffle row: input page + its assigned logical partition id. Top-level
   * (not nested) so Spark's reflection-based Encoder can resolve it. */
