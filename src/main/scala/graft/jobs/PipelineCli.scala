@@ -13,6 +13,8 @@ import graft.sources.{TableIO, WebtextGen}
   *   decode <outDir> <decodedParquet>
   *   verify <inParquet> <outDir>
   *   stats  <outDir>
+  *   flfile c <inFile> <outFlFile> [slices]   (reference `compress c fl`)
+  *   flfile d <inFlFile> <outFile>            (reference `compress d fl`)
   *
   * Master/memory come from spark-submit; standalone runs honor
   * SPARK_GRAFT_CPUS (default local[4]).
@@ -78,6 +80,21 @@ object PipelineCli {
         println(s"""{"op":"verify","ok":${report.ok},"source":${report.sourceRows},"decoded":${report.decodedRows},"joined":${report.joinedRows},"textMismatches":${report.textMismatches},"htmlMismatches":${report.htmlMismatches},"tsMismatches":${report.tsMismatches},"langMismatches":${report.langMismatches}}""")
         spark.stop()
         if (!report.ok) sys.exit(1)
+
+      // reference-CLI parity: FL compress/decompress of a raw byte FILE
+      // in the reference's own on-disk format (header 3 longs + bits +
+      // values) — `compress c|d fl in out` equivalents
+      case "flfile" :: "c" :: in :: out :: rest =>
+        val spark = session("graft-flfile-c")
+        val slices = rest.headOption.map(_.toInt).getOrElse(32)
+        val outBytes = FlFileJob.compress(spark, in, out, slices)
+        val inBytes = java.nio.file.Files.size(java.nio.file.Paths.get(in))
+        println(f"""{"op":"flfile-c","inBytes":$inBytes,"outBytes":$outBytes,"ratio":${outBytes.toDouble / math.max(1L, inBytes)}%.4f,"slices":$slices}""")
+        spark.stop()
+
+      case "flfile" :: "d" :: in :: out :: Nil =>
+        val rawBytes = FlFileJob.decompress(in, out)
+        println(s"""{"op":"flfile-d","rawBytes":$rawBytes,"out":"$out"}""")
 
       case "stats" :: outDir :: Nil =>
         val spark = session("graft-stats")

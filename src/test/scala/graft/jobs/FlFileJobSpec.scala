@@ -1,0 +1,46 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.codec.ReferenceFl
+
+/** Reference-CLI parity at the file level: the distributed 128-aligned
+  * compress must produce a file byte-identical to a whole-input
+  * single-node reference encode (the alignment invariant of
+  * /root/reference/src/file_io.cu:39-56 + fl_common.cuh:95-151), and the
+  * file must round-trip. */
+class FlFileJobSpec extends AnyFunSuite with SparkFixture {
+
+  test("distributed file compress == single-node reference encode, round-trips") {
+    val dir = tmpDir("graft-flfile")
+    val rnd = new scala.util.Random(42)
+    // low-entropy bytes with a partial final frame (not 128-aligned size)
+    val data = Array.tabulate(300037)(i =>
+      if (i % 1000 < 900) (rnd.nextInt(16)).toByte else rnd.nextInt(256).toByte)
+    Files.write(Paths.get(s"$dir/in.bin"), data)
+
+    val outBytes = FlFileJob.compress(spark, s"$dir/in.bin", s"$dir/out.fl", slices = 7)
+    val fileBytes = Files.readAllBytes(Paths.get(s"$dir/out.fl"))
+    assert(outBytes == fileBytes.length.toLong)
+
+    val single = ReferenceFl.toFileBytes(ReferenceFl.compress(data))
+    assert(fileBytes.sameElements(single), "distributed != single-node encode")
+    assert(fileBytes.length.toLong == ReferenceFl.fileSizeOf(data))
+
+    val rawBytes = FlFileJob.decompress(s"$dir/out.fl", s"$dir/back.bin")
+    assert(rawBytes == data.length.toLong)
+    assert(Files.readAllBytes(Paths.get(s"$dir/back.bin")).sameElements(data))
+  }
+
+  test("slice bounds are 128-aligned with remainder on the last slice") {
+    val bounds = FlFileJob.sliceBounds(300037L, 7)
+    assert(bounds.head._1 == 0L && bounds.last._2 == 300037L)
+    bounds.init.foreach { case (s, e) => assert(s % 128 == 0 && e % 128 == 0) }
+    assert(bounds.sliding(2).forall { case Seq((_, e), (s, _)) => e == s })
+    // tiny file: single slice
+    assert(FlFileJob.sliceBounds(100L, 8) == Seq((0L, 100L)))
+  }
+}
