@@ -163,60 +163,104 @@ case object FsstBytes extends ByteCodec {
     SymbolTable(top.map { case (_, b) => Array(b.toByte) })
   }
 
+  /** Pack a symbol's bytes little-endian into a Long (symbols are <= 8
+    * bytes); together with its length this is an exact, allocation-free
+    * candidate key for the training frequency maps. */
+  @inline private def packSym(sym: Array[Byte]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < sym.length) { v |= (sym(j) & 0xffL) << (8 * j); j += 1 }
+    v
+  }
+
+  private def unpackSym(value: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var j = 0
+    while (j < len) { out(j) = ((value >>> (8 * j)) & 0xff).toByte; j += 1 }
+    out
+  }
+
   private def refine(sampleData: Array[Byte], table: SymbolTable): SymbolTable = {
-    // compress sample, counting symbol freq and adjacent-pair freq
-    val symFreq = new java.util.HashMap[java.nio.ByteBuffer, Long]()
-    def bump(m: java.util.HashMap[java.nio.ByteBuffer, Long], key: Array[Byte]): Unit = {
-      val bb = java.nio.ByteBuffer.wrap(key)
-      m.merge(bb, 1L, (a, b) => a + b)
+    // compress the sample, counting symbol freq and adjacent-pair freq.
+    // Candidates are keyed (length, packed-Long bytes) in per-length maps:
+    // exact (no hash ambiguity) and with no per-position array/ByteBuffer
+    // allocation — this loop runs 5x over the sample per chunk column.
+    val symFreq = Array.fill(MaxSymbolLen)(new java.util.HashMap[java.lang.Long, java.lang.Long]())
+    val pairFreq = Array.fill(MaxSymbolLen)(new java.util.HashMap[java.lang.Long, java.lang.Long]())
+    val packed = table.symbols.map(packSym)
+    val one = java.lang.Long.valueOf(1L)
+    val sum = new java.util.function.BiFunction[java.lang.Long, java.lang.Long, java.lang.Long] {
+      def apply(a: java.lang.Long, b: java.lang.Long): java.lang.Long = a + b
     }
-    val pairFreq = new java.util.HashMap[java.nio.ByteBuffer, Long]()
     var pos = 0
-    var prev: Array[Byte] = null
+    var prevVal = 0L
+    var prevLen = 0
     while (pos < sampleData.length) {
       val idx = table.findLongest(sampleData, pos)
-      val cur =
-        if (idx >= 0) table.symbols(idx)
-        else Array(sampleData(pos))
-      bump(symFreq, cur)
-      if (prev != null && prev.length + cur.length <= MaxSymbolLen)
-        bump(pairFreq, prev ++ cur)
-      prev = cur
-      pos += cur.length
+      var curVal = 0L
+      var curLen = 1
+      if (idx >= 0) { curVal = packed(idx); curLen = table.symbols(idx).length }
+      else curVal = sampleData(pos) & 0xffL
+      symFreq(curLen - 1).merge(curVal, one, sum)
+      if (prevLen > 0 && prevLen + curLen <= MaxSymbolLen)
+        pairFreq(prevLen + curLen - 1).merge(prevVal | (curVal << (8 * prevLen)), one, sum)
+      prevVal = curVal
+      prevLen = curLen
+      pos += curLen
     }
-    // candidates: current symbols + escaped single bytes + pairs
-    val gains = new java.util.HashMap[java.nio.ByteBuffer, Long]()
-    symFreq.forEach { (k, f) =>
-      val len = k.array().length
-      gains.merge(k, f * len, (a, b) => math.max(a, b))
+    // candidates: current symbols + escaped single bytes + pairs; gain =
+    // freq * len, max-merged where a symbol is also a pair concatenation
+    val gains = Array.fill(MaxSymbolLen)(new java.util.HashMap[java.lang.Long, java.lang.Long]())
+    var len = 1
+    while (len <= MaxSymbolLen) {
+      val l = len
+      val mx = new java.util.function.BiFunction[java.lang.Long, java.lang.Long, java.lang.Long] {
+        def apply(a: java.lang.Long, b: java.lang.Long): java.lang.Long = math.max(a, b)
+      }
+      symFreq(l - 1).forEach { (k, f) => gains(l - 1).merge(k, f * l, mx) }
+      pairFreq(l - 1).forEach { (k, f) => gains(l - 1).merge(k, f * l, mx) }
+      len += 1
     }
-    pairFreq.forEach { (k, f) =>
-      val len = k.array().length
-      gains.merge(k, f * len, (a, b) => math.max(a, b))
+    val selected = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]() // (value, len, gain)
+    var l = 1
+    while (l <= MaxSymbolLen) {
+      gains(l - 1).forEach { (k, g) => selected += ((k.longValue(), l, g.longValue())) }
+      l += 1
     }
-    val selected = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
-    gains.forEach { (k, g) => selected += ((k.array(), g)) }
-    val top = selected.sortBy(-_._2).take(MaxSymbols).map(_._1).toArray
+    val top = selected.sortBy(-_._3).take(MaxSymbols)
+      .map { case (v, ln, _) => unpackSym(v, ln) }.toArray
     SymbolTable(top)
   }
 
   // --------------------------------------------------------------- encode
 
   def encodeWithTable(data: Array[Byte], table: SymbolTable): Array[Byte] = {
-    val codes = new ByteArrayOutputStream(math.max(64, data.length / 2))
+    // plain growable array, NOT ByteArrayOutputStream: BAOS.write is
+    // synchronized (a lock op per emitted byte) and this is the hottest
+    // loop in the encode kernel. Worst case output is 2 bytes/input byte.
+    var buf = new Array[Byte](math.max(64, data.length / 2))
+    var n = 0
+    @inline def ensure(extra: Int): Unit =
+      if (n + extra > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, n + extra))
     var pos = 0
+    val hasSymbols = table.symbols.nonEmpty
     while (pos < data.length) {
-      val idx = if (table.symbols.nonEmpty) table.findLongest(data, pos) else -1
+      val idx = if (hasSymbols) table.findLongest(data, pos) else -1
       if (idx >= 0) {
-        codes.write(idx)
+        ensure(1)
+        buf(n) = idx.toByte
+        n += 1
         pos += table.symbols(idx).length
       } else {
-        codes.write(0xff)
-        codes.write(data(pos) & 0xff)
+        ensure(2)
+        buf(n) = 0xff.toByte
+        buf(n + 1) = data(pos)
+        n += 2
         pos += 1
       }
     }
-    val codeBytes = codes.toByteArray
+    val codeBytes = java.util.Arrays.copyOf(buf, n)
     val out = new ByteArrayOutputStream(codeBytes.length + 1024)
     Varint.writeUnsigned(out, data.length.toLong)
     out.write(table.symbols.length)
