@@ -24,6 +24,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen warmup so the first timed query isn't charged
+    // for SparkSession spin-up and scan-path JIT
+    spark.range(100000L).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/documents.parquet").count()
+    catch { case _: Throwable => () }
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => names.contains(k) }
