@@ -44,7 +44,9 @@ object SparkEntry {
     "q_binary_meta" -> (qBinaryMeta(_, _)),
     "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
     "q_embed_neardup" -> (qEmbedNeardup(_, _)),
-    "q_mm_decode" -> (qMmDecode(_, _)))
+    "q_mm_decode" -> (qMmDecode(_, _)),
+    "q_rollup_sets" -> (qRollupSets(_, _)),
+    "q_sessionize" -> (qSessionize(_, _)))
 
   def oracleSql: Map[String, String] = Map(
     "q_frame_width" ->
@@ -204,5 +206,24 @@ object SparkEntry {
         |       CAST(160 + (strlen(text) % 32) * 16 AS BIGINT) AS fake_w,
         |       CAST(120 + ((CASE WHEN strlen(text) = 0 THEN 0 ELSE unicode(substr(text, 1, 1)) END) % 24) * 16 AS BIGINT) AS fake_h,
         |       CAST(1 + strlen(text) % 16 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q_rollup_sets" ->
+      """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS t_start, max(ts) AS t_end,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM s GROUP BY user_id, session_id""".stripMargin)
 }

@@ -307,6 +307,34 @@ object Queries {
     t(spark, dir, "documents").groupBy($"lang", $"source")
       .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("chars"))
 
+  /** Multi-level rollup (GROUPING SETS): per (lang, source), per lang,
+    * and grand total in one pass — the metrics-rollup shape at scale
+    * (partial aggregation handles all levels in one shuffle). */
+  def qRollupSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .rollup($"lang", $"source")
+      .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("chars"))
+
+  /** Sessionization: batch analog of streaming session windows — a new
+    * session starts after a >30-minute gap per user. Window is
+    * partitioned by user (scales: no global order), session stats roll
+    * up per (user, session). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gap = when(
+      lag($"ts", 1).over(byUser).isNull ||
+        unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byUser)) > 1800, 1)
+      .otherwise(0)
+    t(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value", gap.as("brk"))
+      .withColumn("session_id",
+        sum($"brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("t_start"), max($"ts").as("t_end"),
+        sum(round($"value" * 100).cast("bigint")).as("cents"))
+  }
+
   /** Flagship: the engine itself applied to the documents table — per
     * column, which codec the stats-driven selector picked and the realized
     * sizes. Byte-level op, no SQL oracle (rows-only check). */
