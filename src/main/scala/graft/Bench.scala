@@ -4,11 +4,25 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): times every SparkEntry
   * query on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
+  * A query that throws is NOT silently swallowed: its timing is reported
+  * as -1 and the exception surfaces in an `errors` field, so a broken
+  * query can never masquerade as a fast one.
+  *
   * Optional args (profiling): a repeat count (`-r N`) and/or query names
   * to restrict to, e.g. `runMain graft.Bench -r 3 q_for_frames`.
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
   */
 object Bench {
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val (repeat, names) = args.toList match {
       case "-r" :: n :: rest => (n.toInt, rest)
@@ -32,27 +46,41 @@ object Bench {
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => names.contains(k) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
+      var lastErr: Throwable = null
       (1 to repeat).foreach { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        try {
+          fn(spark, sfDir).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable => lastErr = e }
       }
-      name -> best
+      if (best == Double.MaxValue) { // every rep threw: sentinel, not a time
+        errors(name) = s"${lastErr.getClass.getSimpleName}: ${String.valueOf(lastErr.getMessage).take(200)}"
+        name -> -1.0
+      } else name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson =
+      if (errors.isEmpty) ""
+      else "," + "\"errors\":" + errors
+        .map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
+        .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     // attach the latest ScalingBench evidence (north_rule: encode GB/s,
-    // ratio vs reference FL, N->4N scaling efficiency); see BENCH.md
+    // ratio vs reference FL, N->4N scaling efficiency); the attached JSON
+    // carries its own generatedAtIso/runId stamp so staleness is visible
     val scaling = {
       val p = java.nio.file.Paths.get("bench_scaling.json")
       if (java.nio.file.Files.exists(p))
         "," + "\"scaling\":" + java.nio.file.Files.readString(p).trim
       else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$scaling}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

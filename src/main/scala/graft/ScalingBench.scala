@@ -233,7 +233,11 @@ object ScalingBench {
   def json(r: ScalingResult): String = {
     val levels = r.levels.map(l =>
       f"""{"cpus":${l.cpus},"wallSec":${l.wallSec}%.3f,"gbps":${l.gbps}%.4f}""").mkString("[", ",", "]")
-    f"""{"nDocs":${r.nDocs},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.ratio}%.4f,"ratioVsFl":${r.ratioVsFl}%.4f,"levels":$levels,"scalingEfficiency":${r.effPrimary}%.3f,"scalingEfficiency8to32":${r.effSecondary}%.3f,"hardwareCeiling8to32":${r.hwCeiling}%.3f,"flOnlyGbps":${r.flOnly.gbps}%.4f,"flOnlyRatio":${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f,"decodeGbps":${r.decodeGbps}%.4f,"verifyOk":${r.verifyOk}}"""
+    // generation stamp + run id: the file is inlined into per-round bench
+    // lines, so when it was measured must be visible, not implied
+    val stamp = java.time.Instant.now().toString
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    f"""{"generatedAtIso":"$stamp","runId":"$runId","nDocs":${r.nDocs},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.ratio}%.4f,"ratioVsFl":${r.ratioVsFl}%.4f,"levels":$levels,"scalingEfficiency":${r.effPrimary}%.3f,"scalingEfficiency8to32":${r.effSecondary}%.3f,"hardwareCeiling8to32":${r.hwCeiling}%.3f,"flOnlyGbps":${r.flOnly.gbps}%.4f,"flOnlyRatio":${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f,"decodeGbps":${r.decodeGbps}%.4f,"verifyOk":${r.verifyOk}}"""
   }
 
   def main(args: Array[String]): Unit = {

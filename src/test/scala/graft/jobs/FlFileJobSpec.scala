@@ -33,6 +33,23 @@ class FlFileJobSpec extends AnyFunSuite with SparkFixture {
     val rawBytes = FlFileJob.decompress(s"$dir/out.fl", s"$dir/back.bin")
     assert(rawBytes == data.length.toLong)
     assert(Files.readAllBytes(Paths.get(s"$dir/back.bin")).sameElements(data))
+    // distributed parts are stream-concatenated then removed — no payload
+    // bytes are gathered to the driver and no temp files linger
+    assert(!Files.exists(Paths.get(s"$dir/out.fl.parts")))
+  }
+
+  test("slice count auto-raises so no slice exceeds 2 GiB (reference int-overflow guard)") {
+    // a 5 GiB file at slices=1 must NOT become one negative-size array
+    val big = 5L << 30
+    for (req <- Seq(1, 3, 32)) {
+      val bounds = FlFileJob.sliceBounds(big, req)
+      assert(bounds.head._1 == 0L && bounds.last._2 == big)
+      assert(bounds.sliding(2).forall { case Seq((_, e), (s, _)) => e == s; case _ => true })
+      bounds.init.foreach { case (s, e) => assert(s % 128 == 0 && e % 128 == 0) }
+      bounds.foreach { case (s, e) =>
+        assert(e - s <= FlFileJob.MaxSliceBytes, s"slice ${e - s} over cap at req=$req")
+      }
+    }
   }
 
   test("slice bounds are 128-aligned with remainder on the last slice") {
