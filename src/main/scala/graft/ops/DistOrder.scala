@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed total-order primitives — the scale-safe replacements for
+  * `Window.orderBy(...)` with no `partitionBy`, which moves every row to a
+  * single partition (Spark's own WindowExec warns about it; at 100 TB it
+  * simply does not finish).
+  *
+  * Both primitives follow the reference's per-rank independence invariant
+  * (/root/reference/src/file_io.cu:39-56: ranks own aligned slices and
+  * never coordinate) lifted to range partitions: do the O(rows) work
+  * partition-parallel over a range-partitioned sort, then reconcile at
+  * partition boundaries with O(#partitions) driver state — exactly how
+  * the encode kernel stitches per-chunk metadata into a manifest.
+  */
+object DistOrder {
+
+  /** One RLE run local to a range partition: `idx` is the run's ordinal
+    * within its partition, `len` its row count. */
+  final case class LocalRun(part: Int, idx: Long, v: String, len: Long)
+
+  /** Global RLE runs of `valueCol` over the total order given by
+    * `sortCols`, without a global sort:
+    *
+    *  1. range-repartition + sort within partitions on the sort key;
+    *  2. per-partition run detection (one streaming pass, mapPartitions);
+    *  3. stitch: per partition only (firstV, lastV, #runs) goes to the
+    *     driver — K rows for K partitions — which chains boundary runs
+    *     whose values match across adjacent partitions and assigns each
+    *     partition a global run-id base;
+    *  4. boundary runs sharing a global id are summed by a final groupBy.
+    *
+    * Returns (run_id starting at 1 in key order, val, run_len) — the same
+    * result as the single-partition `lag`+running-`sum` window oracle, at
+    * per-partition parallelism. The RLE semantics mirror the reference's
+    * run-boundary mask + scan design (IMPLEMENTATION-PLAN.md:93-123).
+    */
+  def runs(df: DataFrame, sortCols: Seq[String], valueCol: String, numParts: Int): DataFrame = {
+    val spark = df.sparkSession
+    val keyCols = sortCols.map(col)
+    val parted = df
+      .select(col(valueCol).cast("string").as("v") +: keyCols: _*)
+      .repartitionByRange(numParts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .select(col("v"))
+
+    val localRuns = parted.mapPartitions { rows =>
+      val part = TaskContext.getPartitionId()
+      new Iterator[LocalRun] {
+        private var idx = -1L
+        private var cur: String = null
+        private var len = 0L
+        private var pending: LocalRun = null
+        private var exhausted = false
+        private def emit(): LocalRun = { idx += 1; LocalRun(part, idx, cur, len) }
+        def hasNext: Boolean = {
+          while (pending == null && !exhausted) {
+            if (rows.hasNext) {
+              val v = rows.next().getString(0)
+              if (len == 0L) { cur = v; len = 1L }
+              else if (v == cur) len += 1L
+              else { pending = emit(); cur = v; len = 1L }
+            } else {
+              exhausted = true
+              if (len > 0L) pending = emit()
+            }
+          }
+          pending != null
+        }
+        def next(): LocalRun = { val r = pending; pending = null; r }
+      }
+    }(Encoders.product[LocalRun])
+      // two actions below (boundary summary, final rows) must see the SAME
+      // range boundaries — persist pins them (runs are far smaller than rows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // O(#partitions) boundary state to the driver; never payload rows
+    val summaries: Array[Row] = localRuns.groupBy(col("part")).agg(
+      count(lit(1)).as("m"),
+      expr("min_by(v, idx)").as("firstV"),
+      expr("max_by(v, idx)").as("lastV"))
+      .orderBy(col("part"))
+      .collect()
+
+    var prevId = 0L // run ids start at 1, matching sum-of-breaks oracles
+    var prevV: String = null
+    var havePrev = false
+    val baseB = Map.newBuilder[Int, Long]
+    summaries.foreach { r =>
+      val part = r.getInt(0)
+      val m = r.getLong(1)
+      val firstV = r.getString(2)
+      val lastV = r.getString(3)
+      val merges = havePrev && firstV == prevV
+      val b = if (merges) prevId else prevId + 1
+      baseB += part -> b
+      prevId = b + m - 1
+      prevV = lastV
+      havePrev = true
+    }
+    val baseBc = spark.sparkContext.broadcast(baseB.result())
+
+    import spark.implicits._
+    localRuns
+      .map(r => (baseBc.value(r.part) + r.idx, r.v, r.len))
+      .toDF("run_id", "val", "run_len")
+      // a run chained across partitions shares one id; summing re-joins it
+      .groupBy(col("run_id"))
+      .agg(min(col("val")).as("val"), sum(col("run_len")).as("run_len"))
+  }
+
+  /** Per-partition contribution to one ntile bucket. */
+  final case class BucketPart(bucket: Long, cnt: Long, lo: Long, hi: Long)
+
+  /** Exact `ntile(tiles)` bucket stats over the total order of a numeric
+    * key, without a global sort: per-partition row counts (K longs) give
+    * each range partition its global rank offset; each partition then
+    * assigns buckets locally with ntile's exact fill rule (first
+    * `total % tiles` buckets take one extra row) and emits per-bucket
+    * partials, merged by a final groupBy. Returns (bucket, cnt, lo, hi).
+    */
+  def ntileRanges(df: DataFrame, keyCol: String, tiles: Int, numParts: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df
+      .select(col(keyCol).cast("bigint").as("k"))
+      .repartitionByRange(numParts, col("k"))
+      .sortWithinPartitions(col("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // same boundaries for both passes
+
+    val counts = parted
+      .mapPartitions(it => Iterator.single((TaskContext.getPartitionId(), it.size.toLong)))
+      .collect()
+      .toMap
+    val ordered = counts.keys.toSeq.sorted
+    val offsets = ordered.zip(ordered.scanLeft(0L)((acc, p) => acc + counts(p))).toMap
+    val total = counts.values.sum
+    val size = total / tiles
+    val rem = total % tiles
+    val offsetsBc = spark.sparkContext.broadcast(offsets)
+
+    def bucketOf(rank: Long): Long =
+      if (rank < rem * (size + 1)) rank / (size + 1) + 1
+      else rem + (rank - rem * (size + 1)) / math.max(1L, size) + 1
+
+    val partials = parted.mapPartitions { rows =>
+      var rank = offsetsBc.value(TaskContext.getPartitionId())
+      new Iterator[BucketPart] {
+        private var pending: BucketPart = null
+        private var curBucket = -1L
+        private var cnt = 0L
+        private var lo = 0L
+        private var hi = 0L
+        private var exhausted = false
+        def hasNext: Boolean = {
+          while (pending == null && !exhausted) {
+            if (rows.hasNext) {
+              val k = rows.next().getLong(0)
+              val b = bucketOf(rank)
+              rank += 1
+              if (b == curBucket) { cnt += 1; hi = k }
+              else {
+                if (cnt > 0) pending = BucketPart(curBucket, cnt, lo, hi)
+                curBucket = b; cnt = 1; lo = k; hi = k
+              }
+            } else {
+              exhausted = true
+              if (cnt > 0) pending = BucketPart(curBucket, cnt, lo, hi)
+            }
+          }
+          pending != null
+        }
+        def next(): BucketPart = { val r = pending; pending = null; r }
+      }
+    }(Encoders.product[BucketPart])
+
+    partials.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+  }
+}

@@ -33,29 +33,19 @@ object Queries {
       .groupBy($"frame")
       .agg(greatest(lit(1), max($"w")).cast("bigint").as("frame_bits"), count(lit(1)).as("cnt"))
 
-  /** A27 oracle: RLE runs of l_returnflag over a deterministic total order. */
-  def qRleRuns(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-    val ord = Window.orderBy($"l_orderkey", $"l_linenumber")
-    val byRn = Window.orderBy($"rn")
-    val s = li.select($"l_returnflag".as("v"), row_number().over(ord).as("rn"))
-    val b = s.withColumn("brk",
-      when(lag($"v", 1).over(byRn).isNull || lag($"v", 1).over(byRn) =!= $"v", 1).otherwise(0))
-    val r = b.withColumn("run_id", sum($"brk").over(byRn.rowsBetween(Window.unboundedPreceding, 0)))
-    r.groupBy($"run_id").agg(min($"v").as("val"), count(lit(1)).as("run_len"))
-  }
+  /** A27 oracle: RLE runs of l_returnflag over a deterministic total
+    * order — computed partition-parallel with boundary stitching
+    * ([[DistOrder.runs]]), never a global single-partition window. */
+  def qRleRuns(spark: SparkSession, dir: String): DataFrame =
+    DistOrder.runs(t(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"), "l_returnflag", numParts = 32)
 
-  /** Run-length stats per lang over doc_id order (selector stats pass). */
-  def qRunlenHist(spark: SparkSession, dir: String): DataFrame = {
-    val byId = Window.orderBy($"doc_id")
-    val b = t(spark, dir, "documents")
-      .select($"doc_id", $"lang")
-      .withColumn("brk",
-        when(lag($"lang", 1).over(byId).isNull || lag($"lang", 1).over(byId) =!= $"lang", 1).otherwise(0))
-    val r = b.withColumn("run_id", sum($"brk").over(byId.rowsBetween(Window.unboundedPreceding, 0)))
-    r.groupBy($"run_id", $"lang").agg(count(lit(1)).as("run_len"))
-      .groupBy($"lang").agg(count(lit(1)).as("n_runs"), max($"run_len").as("max_run"))
-  }
+  /** Run-length stats per lang over doc_id order (selector stats pass);
+    * runs come from the stitched partition-parallel pass. */
+  def qRunlenHist(spark: SparkSession, dir: String): DataFrame =
+    DistOrder.runs(t(spark, dir, "documents"), Seq("doc_id"), "lang", numParts = 32)
+      .groupBy($"val".as("lang"))
+      .agg(count(lit(1)).as("n_runs"), max($"run_len").as("max_run"))
 
   /** Dictionary-candidate stats: cardinality + sizes per lang. */
   def qDictStats(spark: SparkSession, dir: String): DataFrame =
@@ -118,12 +108,11 @@ object Queries {
       sum(round($"value" * 100).cast("bigint")).over(w).as("running_cents"))
   }
 
-  /** Range-partitioner analog: ntile buckets over the sort key. */
+  /** Range-partitioner analog: exact ntile bucket stats over the sort
+    * key, via per-partition rank offsets ([[DistOrder.ntileRanges]]) —
+    * no global single-partition window. */
   def qNtileRanges(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select($"doc_id", ntile(16).over(Window.orderBy($"doc_id")).cast("bigint").as("bucket"))
-      .groupBy($"bucket")
-      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    DistOrder.ntileRanges(t(spark, dir, "documents"), "doc_id", tiles = 16, numParts = 32)
 
   // ------------------------------------------------- training-pipeline ops
 
