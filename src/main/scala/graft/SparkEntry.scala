@@ -149,8 +149,29 @@ object SparkEntry {
         |sig AS (
         |  SELECT doc_id, min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
         |         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
-        |  FROM sh GROUP BY doc_id)
-        |SELECT h0 AS bucket, count(*) AS cnt, min(doc_id) AS min_doc FROM sig GROUP BY h0""".stripMargin,
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, h0 AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h3 FROM sig)
+        |SELECT CAST(band AS BIGINT) AS band, bucket, count(*) AS cnt, min(doc_id) AS min_doc
+        |FROM bands GROUP BY band, bucket""".stripMargin,
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(1, 16), i ->
+        |           CAST(strpos('0123456789abcdef', substr(md5(tk), CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS h
+        |  FROM tok WHERE length(tk) > 0),
+        |b AS (
+        |  SELECT doc_id, bits.b AS bit,
+        |         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(0, 16)) AS b) bits
+        |  GROUP BY doc_id, bits.b)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash16
+        |FROM b GROUP BY doc_id""".stripMargin,
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |d AS (
@@ -191,16 +212,24 @@ object SparkEntry {
         |FROM pairs p LEFT JOIN com USING (doc_a, doc_b)
         |JOIN sizes na ON p.doc_a = na.doc_id
         |JOIN sizes nb ON p.doc_b = nb.doc_id""".stripMargin,
-    "q_embed_neardup" ->
-      ("""WITH e AS (SELECT vec_id, embedding, CAST(""" + (1 to 8).map(i =>
-        s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ") +
-        """ AS BIGINT) AS bucket FROM embeddings),
-          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          |  round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-          |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-          |  , 4) AS cos_sim
-          | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.25""".stripMargin),
+    "q_embed_neardup" -> {
+      def bits(off: Int) = (1 to 8).map(i =>
+        s"(CASE WHEN embedding[${off + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT vec_id, CAST(0 AS BIGINT) AS band, CAST(${bits(0)} AS BIGINT) AS bucket FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, CAST(1 AS BIGINT), CAST(${bits(8)} AS BIGINT) FROM embeddings),
+         |ok AS (SELECT band, bucket FROM m GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 16),
+         |mo AS (SELECT m.vec_id, m.band, m.bucket FROM m JOIN ok USING (band, bucket)),
+         |p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |      FROM mo a JOIN mo b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |c AS (SELECT vec_a, vec_b,
+         |  round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         |  , 4) AS cos_sim
+         |  FROM p JOIN embeddings ea ON p.vec_a = ea.vec_id JOIN embeddings eb ON p.vec_b = eb.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM c WHERE cos_sim >= 0.25""".stripMargin
+    },
     "q_mm_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(160 + (strlen(text) % 32) * 16 AS BIGINT) AS fake_w,

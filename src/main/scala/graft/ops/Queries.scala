@@ -154,7 +154,9 @@ object Queries {
       octet_length($"text").cast("bigint").as("n_bytes"))
 
   /** MinHash signatures over 8-char shingles (stride 4), 4 hash families,
-    * then LSH banding: bucket docs by their h0 band. */
+    * then LSH banding with ALL 4 bands as candidate generators (OR over
+    * bands — the multi-band recall boost is the whole point of computing
+    * 4 families): bucket stats per (band, bucket). */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sh = docs.select($"doc_id", $"text",
@@ -165,11 +167,15 @@ object Queries {
       min(md5(concat(lit("1"), $"s").cast("binary"))).as("h1"),
       min(md5(concat(lit("2"), $"s").cast("binary"))).as("h2"),
       min(md5(concat(lit("3"), $"s").cast("binary"))).as("h3"))
-    sig.groupBy($"h0".as("bucket")).agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_doc"))
+    sig.select($"doc_id", explode(map(
+        lit(0L), $"h0", lit(1L), $"h1", lit(2L), $"h2", lit(3L), $"h3"))
+        .as(Seq("band", "bucket")))
+      .groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_doc"))
   }
 
-  /** SimHash (no SQL oracle — bit twiddling; rows-only check): 16-bit
-    * sign-aggregated token hash per doc. */
+  /** SimHash: 16-bit sign-aggregated token hash per doc (DuckDB oracle
+    * expresses the same hex-parse + bit votes with integer shifts). */
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = t(spark, dir, "documents")
       .select($"doc_id", explode(split($"text", " ", -1)).as("tk"))
@@ -245,22 +251,35 @@ object Queries {
         round($"common" / ($"na" + $"nb" - $"common"), 4).as("jaccard"))
   }
 
-  /** Embedding cosine near-dup pairs within a sign-LSH bucket (the
-    * bucketed self-join bounds candidate pairs; brute-force all-pairs is
-    * never materialized). */
+  /** Embedding cosine near-dup pairs via multi-band sign-LSH: two 8-bit
+    * sign bands (dims 1-8 and 9-16, OR'd for recall), per-(band,bucket)
+    * size cap 2..16 so a hot bucket can never blow up into a quadratic
+    * self-join (the same guard q_ngram_jaccard uses — at 100 TB an
+    * uncapped skewed bucket is the scale-killer), candidate pairs
+    * dedup'd across bands, then exact cosine on the bounded pair set. */
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (1 to 8).map(i =>
-      when(element_at($"embedding", i) > 0f, lit(1L << (i - 1))).otherwise(0L)).reduce(_ + _)
+    def bucketBits(band: Int) = (1 to 8).map(i =>
+      when(element_at($"embedding", 8 * band + i) > 0f, lit(1L << (i - 1))).otherwise(0L)).reduce(_ + _)
     val e = t(spark, dir, "embeddings")
-      .select($"vec_id", $"embedding", bucket.cast("bigint").as("bucket"))
+    val bands = e.select($"vec_id", explode(map(
+        lit(0L), bucketBits(0).cast("bigint"),
+        lit(1L), bucketBits(1).cast("bigint")))
+        .as(Seq("band", "bucket")))
+    val okBuckets = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("bcnt"))
+      .filter($"bcnt".between(2, 16))
+    val members = bands.join(okBuckets, Seq("band", "bucket"))
+    val pairs = members.as("a").join(members.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // a pair proposed by both bands scores once
     val dot = expr(
       "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
     val nrm = (c: String) => expr(
       s"sqrt(aggregate($c, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
+    pairs
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("a_emb")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("b_emb")), "vec_b")
       .select($"vec_a", $"vec_b",
         round(dot / (nrm("a_emb") * nrm("b_emb")), 4).as("cos_sim"))
       .filter($"cos_sim" >= 0.25)
