@@ -46,7 +46,9 @@ object SparkEntry {
     "q_embed_neardup" -> (qEmbedNeardup(_, _)),
     "q_mm_decode" -> (qMmDecode(_, _)),
     "q_rollup_sets" -> (qRollupSets(_, _)),
-    "q_sessionize" -> (qSessionize(_, _)))
+    "q_sessionize" -> (qSessionize(_, _)),
+    // SQL-registered codec surface (Table B UDF/UDAF row)
+    "q_sql_codec" -> (qSqlCodec(_, _)))
 
   def oracleSql: Map[String, String] = Map(
     "q_frame_width" ->
@@ -239,6 +241,12 @@ object SparkEntry {
     "q_rollup_sets" ->
       """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // fl_ok/rle_ok are literal 1 here and computed round-trip results on
+    // the Spark side: the value hash-compare IS the round-trip assertion
+    "q_sql_codec" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(1 AS BIGINT) AS fl_ok, CAST(1 AS BIGINT) AS rle_ok
+        |FROM documents""".stripMargin,
     "q_sessionize" ->
       """WITH b AS (
         |  SELECT user_id, event_id, ts, value,

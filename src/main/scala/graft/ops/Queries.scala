@@ -343,6 +343,24 @@ object Queries {
         sum(round($"value" * 100).cast("bigint")).as("cents"))
   }
 
+  /** SQL-registered codec surface: round-trip each doc's text through the
+    * fl_* / rle_* SQL functions *inside SQL* (no Scala in the query). The
+    * oracle pins fl_ok/rle_ok to 1, so the driver's hash compare proves
+    * decode(encode(x)) == x held for every row — a failed round-trip
+    * flips a flag and breaks the hash. */
+  def qSqlCodec(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "documents").createOrReplaceTempView("graft_sql_codec_docs")
+    spark.sql(
+      """SELECT doc_id,
+        |       CAST(octet_length(text) AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN fl_decode(fl_encode(CAST(text AS BINARY))) = CAST(text AS BINARY)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS fl_ok,
+        |       CAST(CASE WHEN rle_decode(rle_encode(CAST(text AS BINARY))) = CAST(text AS BINARY)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS rle_ok
+        |FROM graft_sql_codec_docs""".stripMargin)
+  }
+
   /** Flagship: the engine itself applied to the documents table — per
     * column, which codec the stats-driven selector picked and the realized
     * sizes. Byte-level op, no SQL oracle (rows-only check). */
