@@ -75,6 +75,41 @@ object ColumnCodec {
     bb.array()
   }
 
+  /** Dict-map key with the hash computed exactly once per row (a
+    * ByteBuffer key re-hashes the full payload on every put *and* get). */
+  private final class BytesKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => java.util.Arrays.equals(bytes, k.bytes)
+      case _           => false
+    }
+  }
+
+  /** Cheap strided uniqueness probe over the WHOLE column: ~1k rows at a
+    * fixed stride, keyed by (length, first/last 16 bytes) hash. Collisions
+    * only make the sample look LESS unique, so a "unique" verdict is
+    * trustworthy while a "repetitive" verdict merely continues the exact
+    * pass — the probe can skip work but never mis-select. */
+  private def stridedLooksUnique(present: Array[Array[Byte]]): Boolean = {
+    val step = math.max(1, present.length / 1024)
+    val seen = new java.util.HashSet[Long]()
+    var cnt = 0
+    var i = 0
+    while (i < present.length) {
+      val v = present(i)
+      var h = v.length.toLong * 0x9e3779b97f4a7c15L
+      val head = math.min(16, v.length)
+      var j = 0
+      while (j < head) { h = h * 31 + v(j); j += 1 }
+      j = math.max(head, v.length - 16)
+      while (j < v.length) { h = h * 31 + v(j); j += 1 }
+      seen.add(h)
+      cnt += 1
+      i += step
+    }
+    seen.size.toLong * 10 > cnt.toLong * 9
+  }
+
   // --------------------------------------------------------------- longs
 
   /** Encode a long column chunk; `nulls(i)` marks null rows (may be null).
@@ -185,14 +220,18 @@ object ColumnCodec {
     // dictionary candidate (exact): distinct values + best-codec codes.
     // Early abort once the column is evidently near-unique (dict = payload
     // + codes then, strictly worse than the composite form) — saves
-    // hashing the whole payload for url/text/html-like columns.
+    // hashing the whole payload for url/text/html-like columns. The
+    // prefix test alone would also kill a globally-repetitive column with
+    // a unique HEAD (e.g. sorted input), so a triggered prefix test is
+    // confirmed by a strided whole-column probe before aborting.
     val dictCandidate: Option[(Long, Array[Array[Byte]], Array[Long])] = if (flOnly) None else {
-      val map = new java.util.LinkedHashMap[java.nio.ByteBuffer, Integer]()
+      val map = new java.util.LinkedHashMap[BytesKey, Integer]()
       val codes = new Array[Long](present.length)
       var ok = true
+      var probed = false
       var i = 0
       while (i < present.length && ok) {
-        val key = java.nio.ByteBuffer.wrap(present(i))
+        val key = new BytesKey(present(i))
         var idx = map.get(key)
         if (idx == null) {
           if (map.size >= DictMaxCardinality) ok = false
@@ -200,14 +239,17 @@ object ColumnCodec {
         }
         if (ok) codes(i) = idx.longValue()
         i += 1
-        if ((i & 1023) == 0 && map.size * 10 > i * 9) ok = false // >90% unique
+        if (!probed && (i & 1023) == 0 && map.size * 10 > i * 9) { // prefix >90% unique
+          probed = true
+          if (stridedLooksUnique(present)) ok = false
+        }
       }
       if (!ok) None
       else {
         val dict = new Array[Array[Byte]](map.size)
         val it = map.keySet().iterator()
         var j = 0
-        while (it.hasNext) { dict(j) = it.next().array(); j += 1 }
+        while (it.hasNext) { dict(j) = it.next().bytes; j += 1 }
         val dictBytes = dict.map(d => Varint.sizeUnsigned(d.length.toLong).toLong + d.length).sum
         val codesSize = Seq(ForLongs.sizeOf(codes), RleLongs.sizeOf(codes), 8L * codes.length + 9).min
         Some((Varint.sizeUnsigned(dict.length.toLong) + dictBytes + 1 + codesSize, dict, codes))

@@ -120,4 +120,23 @@ class ColumnCodecSpec extends AnyFunSuite with GenDriven {
     assert(langEnc.bytes.length < langEnc.rawBytes / 4)
     assert(textEnc.bytes.length < textEnc.rawBytes / 2)
   }
+
+  test("dict survives a unique head on a globally repetitive column") {
+    // first ~1.5k rows unique (sorted-input shape), remaining 30k rows from
+    // 8 values: the prefix early-abort alone would discard the dict
+    // candidate here; the strided whole-column probe must keep it alive
+    val rnd = new scala.util.Random(11)
+    val tailVals = Array.tabulate(8)(i => s"frequent-value-number-$i-with-some-padding-bytes".getBytes("UTF-8"))
+    val col = Array.tabulate(31500)(i =>
+      if (i < 1500) s"unique-head-$i-${rnd.nextLong()}".getBytes("UTF-8")
+      else tailVals(rnd.nextInt(8)))
+    val enc = ColumnCodec.encodeBytes(col)
+    assert(enc.codecName == "dict", enc.codecName)
+    val back = ColumnCodec.decodeBytes(enc.bytes)
+    col.indices.foreach(i => assert(back(i).toSeq == col(i).toSeq))
+    // and a truly near-unique column still skips dict (the abort fires)
+    val uniq = Array.tabulate(4000)(i => s"https://example.org/page/$i/${rnd.nextLong()}".getBytes("UTF-8"))
+    val uEnc = ColumnCodec.encodeBytes(uniq)
+    assert(uEnc.codecName != "dict", uEnc.codecName)
+  }
 }
