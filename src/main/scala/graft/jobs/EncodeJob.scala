@@ -14,15 +14,27 @@ import graft.sources.TableIO
 /** Distributed per-column encode.
   *
   * Pipeline (SURVEY.md §3.4):
-  *   read -> assign pid from pinned url-range bounds -> filter completed
-  *   (resume) -> repartition(pid) -> sortWithinPartitions(pid, url) ->
-  *   mapPartitions(encode) -> write chunks -> derive+append manifest.
+  *   read -> assign pid from pinned url-range bounds (narrow column op,
+  *   no typed materialization) -> filter completed (resume) ->
+  *   repartition(pid) -> sortWithinPartitions(pid, url) ->
+  *   mapPartitions(encode) -> write chunks; the kernel's per-pid metadata
+  *   summaries ride back on an accumulator (the Spark analog of the
+  *   reference's MPI_Allgather of sizes, fl_gpu.cu:100-109) and become
+  *   the manifest — the chunk table is written once and never re-read.
   *
-  * Exactly one shuffle (the pid repartition). Encoding is shuffle-free and
-  * embarrassingly parallel, mirroring the reference's 128-aligned per-rank
-  * split (/root/reference/src/file_io.cu:39-56); the reference's
+  * Exactly one shuffle (the pid repartition) and exactly two jobs: the
+  * bounds sample (one pass, count+reservoir fused) and the encode+write.
+  * Encoding is shuffle-free and embarrassingly parallel, mirroring the
+  * reference's 128-aligned per-rank split
+  * (/root/reference/src/file_io.cu:39-56); the reference's
   * gather-to-rank-0 (fl_gpu.cu:41-74) is inverted into a distributed
-  * write + a small manifest aggregation, which is the piece that scales.
+  * write + O(#pids) metadata, which is the piece that scales.
+  *
+  * Manifest-vs-disk consistency: summaries come only from SUCCESSFUL
+  * tasks of the same action that committed the chunk files (Spark drops
+  * accumulator updates of failed attempts), so a manifest row still
+  * describes data actually on disk; duplicate summaries from speculative
+  * twin attempts are deduped by pid (a pid lives in exactly one task).
   *
   * Resume (north_rule): url-range bounds are sampled once and pinned in
   * `bounds.json`; pid assignment is a pure function of (url, bounds), so
@@ -45,6 +57,14 @@ import graft.sources.TableIO
 final case class PidPage(
     pid: Int, url: String, warc_ts: java.sql.Timestamp,
     html: Array[Byte], text: String, lang: String)
+
+/** Per-pid metadata summary the encode kernel sends back on an
+  * accumulator (O(#pids) driver state; payload bytes never leave the
+  * executors). `codecs` keeps the distinct codec set per column. */
+final case class PidSummary(
+    pid: Int, blocks: Long, rows: Long, urlMin: String, urlMax: String,
+    rawBytes: Long, encBytes: Long, flBaselineBytes: Long, encodeNanos: Long,
+    textCrc32Xor: Long, codecs: Map[String, Set[String]])
 
 object EncodeJob {
 
@@ -93,6 +113,12 @@ object EncodeJob {
     lo
   }
 
+  /** Compute (or reload pinned) url-range cut points in ONE pass: every
+    * input partition returns its row count plus a fixed-size uniform
+    * reservoir of urls, and the driver merges them as a weighted quantile
+    * sketch. This fuses the old count() + sample() pair — at 100 TB a
+    * spare full pass over the table is a real cost, and the bounds only
+    * steer balance, so sketch precision is ample. */
   private def loadOrComputeBounds(
       spark: SparkSession, input: Dataset[Page], outDir: String, cfg: Config): Array[String] = {
     val p = Paths.get(boundsPath(outDir))
@@ -101,15 +127,42 @@ object EncodeJob {
       parseJsonStringArray(txt)
     } else {
       import spark.implicits._
-      val total = math.max(1L, input.count())
-      val fraction = math.min(1.0, cfg.seedSampleSize.toDouble / total.toDouble)
-      val sample = input.select($"url").sample(withReplacement = false, fraction, seed = 42L)
-        .as[String].collect().sorted
+      val k = math.max(64, cfg.seedSampleSize / 16) // per-partition reservoir
+      val perPart: Array[(Long, Array[String])] = input.select($"url").as[String]
+        .mapPartitions { it =>
+          val rnd = new java.util.Random(42L + org.apache.spark.TaskContext.getPartitionId())
+          val res = new Array[String](k)
+          var n = 0L
+          while (it.hasNext) {
+            val u = it.next()
+            if (n < k) res(n.toInt) = u
+            else {
+              val j = (rnd.nextDouble() * (n + 1)).toLong
+              if (j < k) res(j.toInt) = u
+            }
+            n += 1
+          }
+          Iterator.single((n, java.util.Arrays.copyOf(res, math.min(n, k.toLong).toInt)))
+        }
+        .collect()
+      // each sampled url stands for count_i/|sample_i| rows of its partition
+      val weighted = perPart.filter(_._2.nonEmpty).flatMap { case (cnt, arr) =>
+        val w = cnt.toDouble / arr.length
+        arr.map(u => (u, w))
+      }.sortBy(_._1)
       val bounds =
-        if (sample.length < cfg.numPartitions) Array.empty[String]
-        else Array.tabulate(cfg.numPartitions - 1) { i =>
-          sample(((i + 1).toLong * sample.length / cfg.numPartitions).toInt)
-        }.distinct
+        if (weighted.length < cfg.numPartitions) Array.empty[String]
+        else {
+          val step = weighted.map(_._2).sum / cfg.numPartitions
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var acc = 0.0
+          var next = step
+          weighted.foreach { case (u, w) =>
+            acc += w
+            while (acc >= next && out.length < cfg.numPartitions - 1) { out += u; next += step }
+          }
+          out.toArray.distinct
+        }
       Files.createDirectories(p.getParent)
       Files.writeString(p, bounds.map(jsonQuote).mkString("[", ",", "]"))
       bounds
@@ -165,13 +218,20 @@ object EncodeJob {
     val completedBc = spark.sparkContext.broadcast(completed)
 
     val pidCap = cfg.pidUpperBound.getOrElse(Int.MaxValue)
-    val withPid = input
-      .map(p => PidPage(pidOf(boundsBc.value, p.url), p.url, p.warc_ts, p.html, p.text, p.lang))
-      .filter(p => !completedBc.value.contains(p.pid) && p.pid < pidCap)
+    // pid assignment + resume filter as narrow column ops: the rows stay
+    // Tungsten-binary until AFTER the shuffle (only `url` is evaluated);
+    // a typed .map here would materialize every html/text payload as JVM
+    // objects on the map side just to re-serialize them for the shuffle
+    val assignPid = udf((url: String) => pidOf(boundsBc.value, url))
+    val isPending = udf((pid: Int) => !completedBc.value.contains(pid) && pid < pidCap)
+    val withPid = input.toDF()
+      .withColumn("pid", assignPid($"url"))
+      .filter(isPending($"pid"))
 
     val targetBytes = cfg.targetBlockBytes
     val maxRows = cfg.maxBlockRows
     val flOnly = cfg.codecMode == "fl"
+    val summaryAcc = spark.sparkContext.collectionAccumulator[PidSummary]("graft.pidSummaries")
     // Hash repartition on the (already range-derived) pid: pids are dense
     // ints in [0, numPartitions], so hashing spreads them ~1 per task
     // WITHOUT the extra sampling pass a repartitionByRange would run over
@@ -181,42 +241,30 @@ object EncodeJob {
       .repartition(cfg.numPartitions, $"pid")
       .sortWithinPartitions($"pid", $"url")
       .as[PidPage]
-      .mapPartitions(it => encodePartition(it, targetBytes, maxRows, flOnly))
+      .mapPartitions { it =>
+        summarizing(encodePartition(it, targetBytes, maxRows, flOnly), summaryAcc)
+      }
 
     TableIO.write(chunks.toDF(), chunksDir(outDir), SaveMode.Append)
     val tEncode = System.nanoTime()
 
-    // manifest derived from what is actually on disk, restricted to the
-    // pids this run produced (append-safe for resume). Payload columns are
-    // pruned out before the aggregation — only metadata bytes are re-read.
+    // manifest straight from the kernel summaries (O(#pids), no re-read of
+    // the chunk table); append-safe for resume
     val attemptId = java.util.UUID.randomUUID().toString
-    val onDisk = TableIO.read(spark, chunksDir(outDir))
-      .select($"pid", $"rows", $"urlMin", $"urlMax", $"rawBytes", $"encBytes",
-        $"flBaselineBytes", $"encodeNanos", $"textCrc32",
-        arrays_zip($"cols.name".as("col"), $"cols.codec".as("codec")).as("colCodecs"))
-      .filter(!$"pid".isin(completed.toSeq: _*))
-    val codecsPerPid = onDisk
-      .select($"pid", explode($"colCodecs").as("cc"))
-      .select($"pid", $"cc.col".as("col"), $"cc.codec".as("codec"))
-      .groupBy($"pid", $"col").agg(concat_ws("|", sort_array(collect_set($"codec"))).as("codec"))
-      .groupBy($"pid").agg(map_from_entries(sort_array(collect_list(struct($"col", $"codec")))).as("codecs"))
-    val manifest = onDisk
-      .groupBy($"pid")
-      .agg(
-        count(lit(1)).as("blocks"),
-        sum($"rows").as("rows"),
-        min($"urlMin").as("urlMin"),
-        max($"urlMax").as("urlMax"),
-        sum($"rawBytes").as("rawBytes"),
-        sum($"encBytes").as("encBytes"),
-        sum($"flBaselineBytes").as("flBaselineBytes"),
-        sum($"encodeNanos").as("encodeNanos"),
-        expr("bit_xor(textCrc32)").as("textCrc32Xor"))
-      .join(codecsPerPid, Seq("pid"))
-      .withColumn("attemptId", lit(attemptId))
-      .withColumn("finishedAtEpochMs", lit(System.currentTimeMillis()))
-      .as[PartitionManifest]
-    TableIO.write(manifest.toDF(), manifestDir(outDir), SaveMode.Append)
+    val finishedAt = System.currentTimeMillis()
+    val manifestRows = {
+      import scala.jdk.CollectionConverters._
+      summaryAcc.value.asScala
+        .groupBy(_.pid).map(_._2.head) // speculative twin attempts dedupe by pid
+        .toSeq.sortBy(_.pid)
+        .map(s => PartitionManifest(
+          s.pid, s.blocks, s.rows, s.urlMin, s.urlMax, s.rawBytes, s.encBytes,
+          s.flBaselineBytes, s.encodeNanos, s.textCrc32Xor,
+          s.codecs.map { case (c, set) => c -> set.toSeq.sorted.mkString("|") },
+          attemptId, finishedAt))
+    }
+    if (manifestRows.nonEmpty)
+      TableIO.write(spark.createDataset(manifestRows).toDF(), manifestDir(outDir), SaveMode.Append)
 
     val stats = TableIO.read(spark, manifestDir(outDir))
       .agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
@@ -233,6 +281,40 @@ object EncodeJob {
       encodeNanos = tEncode - tBounds,
       manifestNanos = System.nanoTime() - tEncode)
   }
+
+  /** Pass-through iterator that folds every produced chunk into per-pid
+    * summaries and flushes them to the accumulator exactly once, when the
+    * kernel is exhausted (i.e. when the task has produced all its rows). */
+  private def summarizing(
+      inner: Iterator[EncodedChunk],
+      acc: org.apache.spark.util.CollectionAccumulator[PidSummary]): Iterator[EncodedChunk] =
+    new Iterator[EncodedChunk] {
+      private val agg = scala.collection.mutable.LinkedHashMap.empty[Int, PidSummary]
+      private var flushed = false
+      def hasNext: Boolean = {
+        val h = inner.hasNext
+        if (!h && !flushed) { flushed = true; agg.values.foreach(acc.add) }
+        h
+      }
+      def next(): EncodedChunk = {
+        val c = inner.next()
+        val cCodecs = c.cols.map(col => col.name -> Set(col.codec)).toMap
+        agg(c.pid) = agg.get(c.pid) match {
+          case None => PidSummary(c.pid, 1L, c.rows, c.urlMin, c.urlMax, c.rawBytes,
+            c.encBytes, c.flBaselineBytes, c.encodeNanos, c.textCrc32, cCodecs)
+          case Some(s) => PidSummary(c.pid, s.blocks + 1, s.rows + c.rows,
+            if (s.urlMin <= c.urlMin) s.urlMin else c.urlMin,
+            if (s.urlMax >= c.urlMax) s.urlMax else c.urlMax,
+            s.rawBytes + c.rawBytes, s.encBytes + c.encBytes,
+            s.flBaselineBytes + c.flBaselineBytes, s.encodeNanos + c.encodeNanos,
+            s.textCrc32Xor ^ c.textCrc32,
+            cCodecs.foldLeft(s.codecs) { case (m, (k, v)) =>
+              m.updated(k, m.getOrElse(k, Set.empty[String]) ++ v)
+            })
+        }
+        c
+      }
+    }
 
   /** Per-partition kernel: consume (pid,url)-sorted rows, cut a chunk at
     * pid change / row cap / byte cap, encode all five columns. Pure Scala
