@@ -40,6 +40,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh(_, _)),
     "q_simhash" -> (qSimhash(_, _)),
     "q_embed_topk" -> (qEmbedTopk(_, _)),
+    "q_embed_ivf" -> (qEmbedIvf(_, _)),
     "q_embed_lsh_buckets" -> (qEmbedLshBuckets(_, _)),
     "q_binary_meta" -> (qBinaryMeta(_, _)),
     "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
@@ -184,6 +185,29 @@ object SparkEntry {
         |  FROM embeddings, q)
         |SELECT vec_id, round(dot / (na * nb), 4) AS cos_sim FROM d
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_embed_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |dists AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))) AS d2
+        |  FROM embeddings e, cent c),
+        |asg AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT vec_id, embedding, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |probe AS (
+        |  SELECT c.cell FROM cent c, q
+        |  ORDER BY list_sum(list_transform(generate_series(1, len(c.cv)),
+        |    i -> (CAST(c.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)) * (CAST(c.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))), c.cell
+        |  LIMIT 2)
+        |SELECT a.cell, a.vec_id,
+        |       round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        |FROM asg a JOIN probe USING (cell), q
+        |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
     "q_embed_lsh_buckets" ->
       ("""SELECT CAST(""" + (1 to 8).map(i =>
         s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ") +

@@ -212,6 +212,39 @@ object Queries {
       .groupBy($"bucket").agg(count(lit(1)).as("cnt"), min($"vec_id").as("min_vec"))
   }
 
+  /** IVF-style ANN (the scale path next to brute-force q_embed_topk and
+    * the sign-LSH buckets): deterministic coarse centroids (vectors
+    * 0..7), every vector assigned to its nearest cell (tie-broken by
+    * cell id), then the query probes only the 2 nearest cells and ranks
+    * exact cosine inside them. At 100 TB the assignment is one broadcast
+    * crossJoin against 8 rows and the search touches nprobe/ncells of
+    * the data instead of all of it. */
+  def qEmbedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cent = e.filter($"vec_id" < 8).select($"vec_id".as("cell"), $"embedding".as("cv"))
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    def dist2(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)")
+    // nearest cell per vector (rank within vec_id: scalable partitioned window)
+    val byVec = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+    val assigned = e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"embedding", $"cell", dist2("embedding", "cv").as("d2"))
+      .withColumn("rn", row_number().over(byVec)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cell")
+    // the 2 cells nearest to the query vector
+    val probed = cent.crossJoin(broadcast(q))
+      .select($"cell", dist2("cv", "qv").as("d2"))
+      .orderBy($"d2", $"cell").limit(2).select($"cell")
+    // exact cosine only inside the probed cells
+    val dot = expr(
+      "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val nrm = (c: String) => expr(
+      s"sqrt(aggregate($c, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    assigned.join(broadcast(probed), "cell").crossJoin(broadcast(q))
+      .select($"cell", $"vec_id", round(dot / (nrm("embedding") * nrm("qv")), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id").limit(10)
+  }
+
   /** Multimodal plumbing: binary metadata extraction (bytes, hash, magic). */
   def qBinaryMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
