@@ -28,10 +28,11 @@ import graft.sources.WebtextGen
   *    threads run each thread ~25-30% slower than 8 do — a hardware
   *    property a multi-node cluster does not have.
   *
-  * Protocol: generate once -> warm the JIT with a full encode+decode pass
-  * (the kernel is ~5x slower cold) -> for each level, run EncodeJob twice
-  * on fresh output dirs and keep the faster run (the sandbox host is
-  * noisy) -> decode + round-trip verify. Results -> BENCH.md +
+  * Protocol: generate once -> for each (round, level) run EncodeJob in a
+  * fresh JIT-warmed JVM on a fresh output dir, with levels round-robined
+  * across rounds so one host load spike cannot cover all of a level's
+  * reps (the sandbox host gets external noisy neighbors) -> keep the
+  * per-level best -> decode + round-trip verify. Results -> BENCH.md +
   * bench_scaling.json (picked up by graft.Bench for the per-round line).
   */
 object ScalingBench {
@@ -112,16 +113,22 @@ object ScalingBench {
 
   /** Run one parallelism level in a FRESH child JVM (same classpath and
     * JVM flags as this one) via [[ScalingLevel]]: isolates each level from
-    * the others' heap aging and JIT profile pollution. Returns the child's
-    * one-line JSON parsed into a LevelResult plus the size fields. */
+    * the others' heap aging and JIT profile pollution. The child gets
+    * `-XX:ActiveProcessorCount=cpus` — local[N] alone only bounds Spark
+    * task threads while GC/JIT/netty pools still size to the machine's 32
+    * cores, which hands low-core levels free CPU a real N-core executor
+    * does not have (and so understates scaling efficiency). Returns the
+    * child's one-line JSON parsed into a LevelResult plus size fields. */
   private def runLevelIsolated(pagesPath: String, work: String, cpus: Int,
                                parts: Int, reps: Int,
                                mode: String = "auto"): (LevelResult, Long, Long, Long) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
-      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp") ||
+        a.startsWith("-XX:ActiveProcessorCount"))
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      s"-XX:ActiveProcessorCount=$cpus",
       "-cp", System.getProperty("java.class.path"),
       "graft.ScalingLevel", pagesPath, work, cpus.toString, parts.toString, reps.toString, mode)
     val pb = new ProcessBuilder(cmd: _*)
@@ -153,14 +160,27 @@ object ScalingBench {
       s.stop()
     }
 
-    // -------- measured levels: fresh JVM per level, best of `reps` runs
-    var sizes: (Long, Long, Long) = (0L, 0L, 0L)
-    val lvl = cpuLevels.map { cpus =>
-      val (l, raw, enc, fl) = runLevelIsolated(pagesPath, work, cpus, parts, reps)
-      println(f"[scaling] local[$cpus] best: wall ${l.wallSec}%.2f s, ${l.gbps}%.4f GB/s")
-      if (cpus == 32) sizes = (raw, enc, fl)
-      l
+    // -------- measured levels: fresh JVM per (round, level); the levels
+    // (including the FL-only reference-equivalent run) are ROUND-ROBINED
+    // across rounds so a host load spike (this shared box gets external
+    // neighbors at loadavg 10+) cannot sit inside all of one level's
+    // reps — back-to-back reps give correlated noise that best-of-N
+    // cannot remove. Best per level across rounds is kept.
+    val specs: Seq[(Int, String)] = cpuLevels.map(c => (c, "auto")) :+ ((32, "fl"))
+    var best = Map.empty[(Int, String), (LevelResult, Long, Long, Long)]
+    (1 to reps).foreach { round =>
+      specs.foreach { case (cpus, mode) =>
+        val r = runLevelIsolated(pagesPath, work, cpus, parts, reps = 1, mode)
+        println(f"[scaling] round $round local[$cpus] $mode: wall ${r._1.wallSec}%.2f s, ${r._1.gbps}%.4f GB/s")
+        val k = (cpus, mode)
+        if (!best.contains(k) || r._1.wallSec < best(k)._1.wallSec) best += k -> r
+      }
     }
+    val lvl = cpuLevels.map(c => best((c, "auto"))._1)
+    specs.foreach { case k @ (c, m) =>
+      println(f"[scaling] local[$c] $m best: wall ${best(k)._1.wallSec}%.2f s, ${best(k)._1.gbps}%.4f GB/s")
+    }
+    var sizes: (Long, Long, Long) = { val (_, raw, enc, fl) = best((32, "auto")); (raw, enc, fl) }
     def wall(c: Int): Double = lvl.find(_.cpus == c).map(_.wallSec).getOrElse(Double.NaN)
     val effPrimary = (wall(2) / wall(8)) / 4.0
     val effSecondary = (wall(8) / wall(32)) / 4.0
@@ -170,8 +190,7 @@ object ScalingBench {
     // reference-equivalent FL-only mode: same pipeline, codec fixed to the
     // reference's FL bit-pack — the apples-to-apples throughput number
     // (the reference repo published none; this is the comparable we emit)
-    val (flLvl, _, flEncB, _) = runLevelIsolated(pagesPath, work, 32, parts, reps, mode = "fl")
-    println(f"[scaling] local[32] fl-only best: wall ${flLvl.wallSec}%.2f s, ${flLvl.gbps}%.4f GB/s")
+    val (flLvl, _, flEncB, _) = best((32, "fl"))
 
     println("[scaling] measuring pure-CPU hardware ceiling (8 vs 32 threads)...")
     val ceiling = hardwareCeiling()
@@ -200,17 +219,21 @@ object ScalingBench {
     sb.append("# BENCH — measured scaling + throughput (this sandbox)\n\n")
     sb.append("Protocol per BASELINE.md: same EncodeJob, same deterministic generated\n")
     sb.append("input (WebtextGen seed=42), N vs 4N cores standing in for N vs 4N\n")
-    sb.append("executors (no real cluster in the sandbox). Each level runs in a fresh\n")
-    sb.append("JVM, JIT-warmed with a full pass first; best of repeated runs is kept\n")
-    sb.append("(the shared host is noisy).\n\n")
+    sb.append("executors (no real cluster in the sandbox). Each (round, level) runs in\n")
+    sb.append("a fresh JIT-warmed JVM; levels are round-robined across rounds so one\n")
+    sb.append("host load spike cannot cover a whole level's reps, and the per-level\n")
+    sb.append("best is kept (the shared host has external noisy neighbors).\n\n")
     sb.append(f"- input: ${r.nDocs}%,d docs, ${r.rawBytes / 1e6}%.1f MB raw column bytes\n")
     sb.append(f"- compressed: ${r.encBytes / 1e6}%.1f MB, ratio ${r.ratio}%.4f of raw, ")
     sb.append(f"${r.ratioVsFl}%.4f of the reference-FL baseline (bound: <= 1.0)\n")
     sb.append(f"- decode (local[32]): ${r.decodeSec}%.2f s, ${r.decodeGbps}%.3f GB/s raw-equivalent\n")
     sb.append(f"- FL-only mode (reference-equivalent work, local[32]): ${r.flOnly.gbps}%.3f GB/s at ")
-    sb.append(f"ratio ${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f; the full selector trades ")
-    sb.append(f"${(1 - r.levels.last.gbps / r.flOnly.gbps) * 100}%.0f%% throughput for ")
-    sb.append(f"${(1 - r.encBytes.toDouble / r.flOnlyEncBytes) * 100}%.0f%% smaller output\n")
+    sb.append(f"ratio ${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f; the full selector's output is ")
+    sb.append(f"${(1 - r.encBytes.toDouble / r.flOnlyEncBytes) * 100}%.0f%% smaller")
+    if (r.levels.last.gbps >= r.flOnly.gbps)
+      sb.append(" AND it is faster end-to-end (less to write on a write-bound pipeline)\n")
+    else
+      sb.append(f" at ${(1 - r.levels.last.gbps / r.flOnly.gbps) * 100}%.0f%% lower throughput\n")
     sb.append(s"- round-trip verify (byte-identical per url): ${if (r.verifyOk) "PASS" else "FAIL"}\n\n")
     sb.append("| level | cores | encode wall s | encode-phase s | GB/s (raw/wall) |\n")
     sb.append("|---|---|---|---|---|\n")
