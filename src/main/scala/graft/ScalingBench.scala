@@ -272,7 +272,8 @@ object ScalingBench {
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)).getOrElse(3)
     val r = run(nDocs, parts, work, reps = reps)
     Files.writeString(Paths.get("BENCH.md"), renderMarkdown(r))
-    Files.writeString(Paths.get("bench_scaling.json"), json(r))
-    println(json(r))
+    val out = json(r) // stamp once: file and stdout must carry the same runId
+    Files.writeString(Paths.get("bench_scaling.json"), out)
+    println(out)
   }
 }
