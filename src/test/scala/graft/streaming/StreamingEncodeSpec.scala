@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.jobs.{DecodeJob, EncodeJob, VerifyJob}
+import graft.model.Page
+import graft.sources.WebtextGen
+
+/** Streaming front end: two arrivals of page files, two micro-batch
+  * drains, one coherent chunks+manifest output that decodes and verifies
+  * against the union of all input — with pid assignment consistent
+  * across batches (pinned bounds) and per-batch lineage in the manifest. */
+class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
+
+  test("incremental encode over arriving files round-trips and keeps lineage") {
+    import spark.implicits._
+    val inDir = tmpDir("graft-stream-in")
+    val outDir = tmpDir("graft-stream-out")
+    val cfg = EncodeJob.Config(numPartitions = 4)
+
+    val all = WebtextGen.pages(spark, 600L, partitions = 2).collect()
+    val (first, second) = all.splitAt(300)
+
+    // a "drop" = one flat parquet file landing in inDir (the file stream
+    // source lists inDir non-recursively, like WARC files arriving)
+    def drop(pages: Seq[Page], name: String): Unit = {
+      val stage = tmpDir("graft-stream-stage")
+      spark.createDataset(pages).coalesce(1).write.parquet(s"$stage/out")
+      val part = new java.io.File(s"$stage/out").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+
+    // first drop arrives, stream drains it
+    drop(first.toSeq, "drop1")
+    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+
+    // second drop arrives later; the checkpoint skips already-consumed files
+    drop(second.toSeq, "drop2")
+    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+
+    val decoded = DecodeJob.run(spark, outDir)
+    assert(decoded.count() == 600L)
+    val source = spark.createDataset(all.toSeq.asInstanceOf[Seq[Page]])
+    assert(VerifyJob.run(spark, source, decoded).ok)
+
+    // per-micro-batch lineage: two attemptIds, and batch-2 pids overlap
+    // batch-1 pids (streams append blocks to already-seen pids)
+    val manifest = spark.read.parquet(EncodeJob.manifestDir(outDir))
+    assert(manifest.select($"attemptId").distinct().count() == 2L)
+    val pidsPerAttempt = manifest.groupBy($"attemptId")
+      .agg(org.apache.spark.sql.functions.collect_set($"pid").as("pids"))
+      .select($"pids").as[Seq[Int]].collect()
+    assert(pidsPerAttempt.map(_.toSet).reduce(_ intersect _).nonEmpty)
+
+    // bounds were pinned by batch 1 and reused by batch 2
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.boundsPath(outDir))))
+  }
+}
