@@ -266,9 +266,14 @@ object EncodeJob {
     if (manifestRows.nonEmpty)
       TableIO.write(spark.createDataset(manifestRows).toDF(), manifestDir(outDir), SaveMode.Append)
 
-    val stats = TableIO.read(spark, manifestDir(outDir))
-      .agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
-      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])].head()
+    // empty input with no prior runs leaves no manifest at all — report
+    // zeros instead of failing the read
+    val stats =
+      if (!Files.exists(Paths.get(manifestDir(outDir))))
+        (0L, None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long])
+      else TableIO.read(spark, manifestDir(outDir))
+        .agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
+        .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])].head()
     Result(
       pidsEncoded = stats._1 - completed.size,
       pidsSkipped = completed.size.toLong,

@@ -33,6 +33,14 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     source.unpersist()
   }
 
+  test("empty input yields a zero Result, not a crash") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-empty")
+    val empty = spark.emptyDataset[graft.model.Page]
+    val res = EncodeJob.run(spark, empty, outDir, EncodeJob.Config(numPartitions = 4))
+    assert(res.rows == 0L && res.encBytes == 0L && res.pidsEncoded == 0L)
+  }
+
   test("resume: interrupted run skips completed partitions, identical result") {
     import spark.implicits._
     val outDir = tmpDir("graft-resume")
