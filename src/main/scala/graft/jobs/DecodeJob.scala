@@ -2,7 +2,9 @@ package graft.jobs
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.codec.ColumnCodec
 import graft.sources.TableIO
@@ -11,8 +13,18 @@ import graft.model.{EncodedChunk, Page}
 /** Mirror image of EncodeJob: chunks decode independently (the §1.1
   * chunk-independence invariant), so this is a shuffle-free mapPartitions.
   * Decoded columns are bit-identical to the encoder's input — the
-  * north_rule invariant, asserted by VerifyJob and the e2e suite. */
+  * north_rule invariant, asserted by VerifyJob and the e2e suite.
+  *
+  * Because every encoded column is its own top-level struct field in the
+  * chunk table (see EncodedChunk), [[runProjected]] gives true columnar
+  * reads: decoding only `url` scans only the url blocks (parquet prunes
+  * the other leaves — verify with `.explain`: ReadSchema carries just the
+  * requested fields), and a url-range predicate prunes whole chunks via
+  * the ordinary (urlMin, urlMax) columns before any block is decoded —
+  * the chunk-level analog of partition pruning. */
 object DecodeJob {
+
+  val ColumnNames: Seq[String] = Seq("url", "warc_ts", "html", "text", "lang")
 
   def run(spark: SparkSession, outDir: String): Dataset[Page] = {
     import spark.implicits._
@@ -20,13 +32,87 @@ object DecodeJob {
       .mapPartitions(_.flatMap(decodeChunk))
   }
 
+  /** Columnar decode of a subset of columns, optionally restricted to an
+    * inclusive url range. Only the requested columns' blocks are read
+    * from disk; range pruning happens on chunk metadata before decode,
+    * then exactly (row-level) on the decoded urls. The per-chunk text
+    * CRC lineage check only runs when `text` is decoded (checking it
+    * would otherwise force reading the text blocks — the cost the
+    * projection exists to avoid). */
+  def runProjected(spark: SparkSession, outDir: String, columns: Seq[String],
+                   urlRange: Option[(String, String)] = None): DataFrame = {
+    require(columns.nonEmpty && columns.forall(ColumnNames.contains),
+      s"columns must be among $ColumnNames, got $columns")
+    // row-level range filtering needs the decoded url; add it internally
+    val needUrl = urlRange.isDefined && !columns.contains("url")
+    val decodeCols = if (needUrl) "url" +: columns else columns
+
+    var chunks = TableIO.read(spark, EncodeJob.chunksDir(outDir))
+    urlRange.foreach { case (lo, hi) =>
+      chunks = chunks.filter(col("urlMax") >= lo && col("urlMin") <= hi)
+    }
+    val narrow = chunks.select(
+      (col("rows") +: col("pid") +: col("blockIdx") +: col("textCrc32") +:
+        decodeCols.map(c => col(s"$c.block").as(s"${c}_block"))): _*)
+
+    val outSchema = StructType(columns.map {
+      case "url"     => StructField("url", StringType)
+      case "warc_ts" => StructField("warc_ts", TimestampType)
+      case "html"    => StructField("html", BinaryType)
+      case "text"    => StructField("text", StringType)
+      case "lang"    => StructField("lang", StringType)
+    })
+    val metaWidth = 4 // rows, pid, blockIdx, textCrc32
+    val range = urlRange
+    val rows = narrow.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.getLong(0).toInt
+        val decoded: Map[String, Int => Any] = decodeCols.zipWithIndex.map { case (c, i) =>
+          val block = r.getAs[Array[Byte]](metaWidth + i)
+          c -> (c match {
+            case "warc_ts" =>
+              val (micros, nulls) = ColumnCodec.decodeLongs(block)
+              (j: Int) => if (nulls != null && nulls(j)) null else microsToTs(micros(j))
+            case "html" =>
+              val vals = ColumnCodec.decodeBytes(block)
+              (j: Int) => vals(j)
+            case "text" =>
+              val vals = ColumnCodec.decodeBytes(block)
+              val crc = new java.util.zip.CRC32()
+              vals.foreach(t => if (t != null) crc.update(t))
+              require(crc.getValue == r.getLong(3),
+                s"chunk pid=${r.getInt(1)} blockIdx=${r.getInt(2)}: decoded text CRC mismatch")
+              (j: Int) => new String(vals(j), UTF_8)
+            case _ =>
+              val vals = ColumnCodec.decodeBytes(block)
+              (j: Int) => new String(vals(j), UTF_8)
+          })
+        }.toMap
+        val keep: Int => Boolean = range match {
+          case Some((lo, hi)) =>
+            val urlAt = decoded("url")
+            j => { val u = urlAt(j).asInstanceOf[String]; u >= lo && u <= hi }
+          case None => _ => true
+        }
+        Iterator.tabulate(n)(j => j).filter(keep)
+          .map(j => Row.fromSeq(columns.map(c => decoded(c)(j))))
+      }
+    }(Encoders.row(outSchema))
+    rows
+  }
+
+  private def microsToTs(micros: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(micros, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(micros, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def decodeChunk(chunk: EncodedChunk): Iterator[Page] = {
-    val byName = chunk.cols.map(c => c.name -> c.block).toMap
-    val urls = ColumnCodec.decodeBytes(byName("url"))
-    val (tsMicros, tsNulls) = ColumnCodec.decodeLongs(byName("warc_ts"))
-    val htmls = ColumnCodec.decodeBytes(byName("html"))
-    val texts = ColumnCodec.decodeBytes(byName("text"))
-    val langs = ColumnCodec.decodeBytes(byName("lang"))
+    val urls = ColumnCodec.decodeBytes(chunk.url.block)
+    val (tsMicros, tsNulls) = ColumnCodec.decodeLongs(chunk.warc_ts.block)
+    val htmls = ColumnCodec.decodeBytes(chunk.html.block)
+    val texts = ColumnCodec.decodeBytes(chunk.text.block)
+    val langs = ColumnCodec.decodeBytes(chunk.lang.block)
     // lineage check: decoded text must reproduce the CRC the encoder
     // recorded for this chunk — corruption fails fast, at the chunk that
     // broke, instead of surfacing later as a verify-join mismatch
@@ -37,14 +123,7 @@ object DecodeJob {
         s"${crc.getValue} != recorded ${chunk.textCrc32} (corrupt block?)")
     val n = chunk.rows.toInt
     Iterator.tabulate(n) { i =>
-      val ts =
-        if (tsNulls != null && tsNulls(i)) null
-        else {
-          val micros = tsMicros(i)
-          val t = new java.sql.Timestamp(math.floorDiv(micros, 1000000L) * 1000L)
-          t.setNanos((math.floorMod(micros, 1000000L) * 1000L).toInt)
-          t
-        }
+      val ts = if (tsNulls != null && tsNulls(i)) null else microsToTs(tsMicros(i))
       Page(
         new String(urls(i), UTF_8), ts, htmls(i),
         new String(texts(i), UTF_8), new String(langs(i), UTF_8))

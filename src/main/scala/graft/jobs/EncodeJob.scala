@@ -369,19 +369,18 @@ object EncodeJob {
     val crc = new CRC32()
     texts.foreach(t => crc.update(t))
 
-    val encoded = Seq(
-      "url" -> ColumnCodec.encodeBytes(urls, flOnly),
-      "warc_ts" -> ColumnCodec.encodeLongs(tsMicros, tsNulls, flOnly),
-      "html" -> ColumnCodec.encodeBytes(htmls, flOnly),
-      "text" -> ColumnCodec.encodeBytes(texts, flOnly),
-      "lang" -> ColumnCodec.encodeBytes(langsB, flOnly))
-    val cols = encoded.map { case (name, e) =>
+    def asCol(name: String, e: ColumnCodec.Encoded) =
       EncodedColumn(name, e.codecName, e.bytes, e.rawBytes, e.bytes.length.toLong, e.flBaselineBytes)
-    }
+    val colUrl = asCol("url", ColumnCodec.encodeBytes(urls, flOnly))
+    val colTs = asCol("warc_ts", ColumnCodec.encodeLongs(tsMicros, tsNulls, flOnly))
+    val colHtml = asCol("html", ColumnCodec.encodeBytes(htmls, flOnly))
+    val colText = asCol("text", ColumnCodec.encodeBytes(texts, flOnly))
+    val colLang = asCol("lang", ColumnCodec.encodeBytes(langsB, flOnly))
+    val cols = Seq(colUrl, colTs, colHtml, colText, colLang)
     EncodedChunk(
       pid, blockIdx, rows.length.toLong,
       rows.head.url, rows.last.url,
       cols.map(_.rawBytes).sum, cols.map(_.encBytes).sum, cols.map(_.flBaselineBytes).sum,
-      System.nanoTime() - t0, crc.getValue, cols)
+      System.nanoTime() - t0, crc.getValue, colUrl, colTs, colHtml, colText, colLang)
   }
 }

@@ -10,7 +10,7 @@ import graft.sources.{TableIO, WebtextGen}
   * Usage (args after the subcommand):
   *   gen    <outParquet> <nDocs> [seed] [skewShare]
   *   encode <inParquet> <outDir> [partitions] [pidUpperBound]
-  *   decode <outDir> <decodedParquet>
+  *   decode <outDir> <decodedParquet> [col,col[,..]] [loUrl hiUrl]
   *   verify <inParquet> <outDir>
   *   stats  <outDir>
   *   flfile c <inFile> <outFlFile> [slices]   (reference `compress c fl`)
@@ -66,10 +66,20 @@ object PipelineCli {
         println(f"""{"op":"encode","pidsEncoded":${r.pidsEncoded},"pidsSkipped":${r.pidsSkipped},"rows":${r.rows},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.encBytes.toDouble / math.max(1, r.rawBytes)}%.4f,"wallSec":${r.wallNanos / 1e9}%.2f,"boundsSec":${r.boundsNanos / 1e9}%.2f,"encodeSec":${r.encodeNanos / 1e9}%.2f,"manifestSec":${r.manifestNanos / 1e9}%.2f,"gbps":$gbps%.3f}""")
         spark.stop()
 
-      case "decode" :: outDir :: out :: Nil =>
+      case "decode" :: outDir :: out :: rest =>
         val spark = session("graft-decode")
-        TableIO.write(DecodeJob.run(spark, outDir).toDF(), out, org.apache.spark.sql.SaveMode.Overwrite)
-        println(s"""{"op":"decode","out":"$out"}""")
+        // optional: comma-separated column projection and an inclusive
+        // url range — columnar decode reads only the requested blocks and
+        // prunes chunks by (urlMin, urlMax) before decoding
+        val df = rest match {
+          case Nil => DecodeJob.run(spark, outDir).toDF()
+          case cols :: Nil => DecodeJob.runProjected(spark, outDir, cols.split(',').toSeq)
+          case cols :: lo :: hi :: Nil =>
+            DecodeJob.runProjected(spark, outDir, cols.split(',').toSeq, Some((lo, hi)))
+          case other => sys.error(s"decode: bad args $other")
+        }
+        TableIO.write(df, out, org.apache.spark.sql.SaveMode.Overwrite)
+        println(s"""{"op":"decode","out":"$out","cols":"${rest.headOption.getOrElse("*")}"}""")
         spark.stop()
 
       case "verify" :: in :: outDir :: Nil =>

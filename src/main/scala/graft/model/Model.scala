@@ -23,7 +23,14 @@ final case class EncodedColumn(
   * of the reference's per-rank FLCompressed + its 128-aligned concat
   * invariant (/root/reference/src/fl/fl_common.cuh:95-151): chunks are
   * self-contained, ordered by (pid, blockIdx, urlMin), and decode
-  * independently with no cross-chunk state. */
+  * independently with no cross-chunk state.
+  *
+  * The five encoded columns are TOP-LEVEL struct fields, not an
+  * array<struct>: parquet stores each struct field as its own leaf
+  * column, so a projected decode of `url` physically reads only the url
+  * blocks — with an array layout every column's payload shares one leaf
+  * and nothing can be pruned. The engine's own storage obeys the
+  * columnar principle it implements. */
 final case class EncodedChunk(
     pid: Int,
     blockIdx: Int,
@@ -35,7 +42,13 @@ final case class EncodedChunk(
     flBaselineBytes: Long,
     encodeNanos: Long,
     textCrc32: Long,
-    cols: Seq[EncodedColumn])
+    url: EncodedColumn,
+    warc_ts: EncodedColumn,
+    html: EncodedColumn,
+    text: EncodedColumn,
+    lang: EncodedColumn) {
+  def cols: Seq[EncodedColumn] = Seq(url, warc_ts, html, text, lang)
+}
 
 /** Per-partition lineage manifest row (north_rule: resumable with
   * per-partition lineage + metrics). Derived by aggregating the chunk

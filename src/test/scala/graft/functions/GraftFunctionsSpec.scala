@@ -48,8 +48,7 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     // decode the url column of every chunk entirely in SQL
     val decodedUrls = spark.sql(
       """SELECT CAST(u AS STRING) AS url
-        |FROM (SELECT explode(col_decode_bytes(c.block)) AS u
-        |      FROM (SELECT explode(cols) AS c FROM chunks) WHERE c.name = 'url')""".stripMargin)
+        |FROM (SELECT explode(col_decode_bytes(url.block)) AS u FROM chunks)""".stripMargin)
       .as[String].collect().sorted
     val sourceUrls = pages.select($"url").as[String].collect().sorted
     assert(decodedUrls.toSeq == sourceUrls.toSeq)

@@ -1,0 +1,69 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions.md5
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.WebtextGen
+
+/** Columnar decode: a projection must read ONLY the requested columns'
+  * blocks from the chunk table (per-column top-level struct fields make
+  * the other leaves prunable), and a url-range predicate must prune
+  * whole chunks before any decode plus filter exactly at row level. */
+class DecodeProjectionSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val dir = {
+    val d = tmpDir("graft-proj")
+    EncodeJob.run(spark, WebtextGen.pages(spark, 800L, partitions = 4), d,
+      EncodeJob.Config(numPartitions = 4))
+    d
+  }
+
+  test("projected decode returns exactly the source projection") {
+    import spark.implicits._
+    val got = DecodeJob.runProjected(spark, dir, Seq("url", "lang"))
+      .as[(String, String)].collect().sorted
+    val want = WebtextGen.pages(spark, 800L, partitions = 4)
+      .select($"url", $"lang").as[(String, String)].collect().sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("projected scan reads only the requested block leaves") {
+    val plan = DecodeJob.runProjected(spark, dir, Seq("url"))
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail("no FileScan ReadSchema in plan:\n" + plan))
+    // ReadSchema must carry the url struct but neither text nor html blocks
+    assert(readSchema.contains("url:struct<block:binary>"), readSchema)
+    assert(!readSchema.contains("html:"), "html leaf not pruned: " + readSchema)
+    assert(!readSchema.contains("text:"), "text leaf not pruned: " + readSchema)
+    assert(!readSchema.contains("lang:"), "lang leaf not pruned: " + readSchema)
+  }
+
+  test("url-range decode prunes chunks and filters rows exactly") {
+    import spark.implicits._
+    val source = WebtextGen.pages(spark, 800L, partitions = 4)
+    val urls = source.select($"url").as[String].collect().sorted
+    val (lo, hi) = (urls(200), urls(600))
+    val got = DecodeJob.runProjected(spark, dir, Seq("url", "text"), Some((lo, hi)))
+      .as[(String, String)].collect().sortBy(_._1)
+    val want = source.filter($"url" >= lo && $"url" <= hi)
+      .select($"url", $"text").as[(String, String)].collect().sortBy(_._1)
+    assert(got.length == 401)
+    assert(got.toSeq == want.toSeq)
+    // range without url in the projection still filters correctly
+    val langsOnly = DecodeJob.runProjected(spark, dir, Seq("lang"), Some((lo, hi))).count()
+    assert(langsOnly == 401L)
+  }
+
+  test("timestamps and binary survive projected decode bit-identically") {
+    import spark.implicits._
+    val got = DecodeJob.runProjected(spark, dir, Seq("url", "warc_ts", "html"))
+      .select($"url", $"warc_ts".cast("long"), md5($"html"))
+      .as[(String, Long, String)].collect().sorted
+    val want = WebtextGen.pages(spark, 800L, partitions = 4)
+      .select($"url", $"warc_ts".cast("long"), md5($"html"))
+      .as[(String, Long, String)].collect().sorted
+    assert(got.toSeq == want.toSeq)
+  }
+}

@@ -122,7 +122,9 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     val source = WebtextGen.pages(spark, 3000L, seed = 1L)
     EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 4))
     val perCol = spark.read.parquet(EncodeJob.chunksDir(outDir))
-      .select(explode($"cols").as("c")).select($"c.name", $"c.codec", $"c.rawBytes", $"c.encBytes")
+      .select(explode(array(
+        DecodeJob.ColumnNames.map(c => col(c)): _*)).as("c"))
+      .select($"c.name", $"c.codec", $"c.rawBytes", $"c.encBytes")
       .groupBy($"name").agg(
         concat_ws(",", sort_array(collect_set($"codec"))).as("codecs"),
         sum($"rawBytes").as("raw"), sum($"encBytes").as("enc"))
