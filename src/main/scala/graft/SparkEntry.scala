@@ -33,6 +33,8 @@ object SparkEntry {
     "q_agg_rollup" -> (qAggRollup(_, _)),
     // training-data pipeline ops
     "q_dedup_exact" -> (qDedupExact(_, _)),
+    "q_dedup_clusters" -> (qDedupClusters(_, _)),
+    "q_percentiles" -> (qPercentiles(_, _)),
     "q_token_count" -> (qTokenCount(_, _)),
     "q_lang_id" -> (qLangId(_, _)),
     "q_quality_score" -> (qQualityScore(_, _)),
@@ -121,6 +123,38 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_percentiles" ->
+      """SELECT lang, count(*) AS cnt,
+        |       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |       round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, substr(text, CAST(u AS INT), 8) AS s
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
+        |        FROM documents)),
+        |sig AS (
+        |  SELECT doc_id, min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+        |         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, h0 AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+        |okb AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 16),
+        |mem AS (SELECT bands.doc_id, bands.band, bands.bucket FROM bands JOIN okb USING (band, bucket)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |          FROM mem a JOIN mem b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |reach(doc, other) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.other = e.src),
+        |labels AS (SELECT doc, min(other) AS label FROM reach GROUP BY doc)
+        |SELECT label AS cluster_id, count(*) AS n_docs FROM labels GROUP BY label""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

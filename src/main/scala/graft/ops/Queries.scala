@@ -343,6 +343,76 @@ object Queries {
     }(Encoders.product[MediaMeta]).toDF()
   }
 
+  /** Exact percentiles per group (ordered-set aggregate): length
+    * distribution of documents per lang — the selector's length-stats
+    * pass as SQL. Exact `percentile` (linear interpolation), not the
+    * sketch variant, so the DuckDB quantile_cont oracle matches bit-for-
+    * bit after rounding. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").groupBy($"lang").agg(
+      count(lit(1)).as("cnt"),
+      round(expr("percentile(n_chars, 0.5D)"), 4).as("p50"),
+      round(expr("percentile(n_chars, 0.9D)"), 4).as("p90"),
+      round(expr("percentile(n_chars, 0.99D)"), 4).as("p99"))
+
+  /** Near-dup cluster formation: connected components over the capped
+    * MinHash candidate pairs — the step after LSH in every web-scale
+    * dedup pipeline (pairs alone don't dedup; clusters pick a keeper).
+    * Min-label propagation to fixpoint: each round every node takes the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds of one shuffle join each (the
+    * large-star/small-star family — never materializes components as
+    * driver state; labels stay a distributed table). Output: one row per
+    * cluster with its size (keeper = cluster_id = min doc_id). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sh = docs.select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
+      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
+    val sig = sh.groupBy($"doc_id").agg(
+      min(md5(concat(lit("0"), $"s").cast("binary"))).as("h0"),
+      min(md5(concat(lit("1"), $"s").cast("binary"))).as("h1"),
+      min(md5(concat(lit("2"), $"s").cast("binary"))).as("h2"),
+      min(md5(concat(lit("3"), $"s").cast("binary"))).as("h3"))
+    val bands = sig.select($"doc_id", explode(map(
+        lit(0L), $"h0", lit(1L), $"h1", lit(2L), $"h2", lit(3L), $"h3"))
+        .as(Seq("band", "bucket")))
+    val okBuckets = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("bcnt"))
+      .filter($"bcnt".between(2, 16))
+    val members = bands.join(okBuckets, Seq("band", "bucket"))
+    val pairs = members.as("a").join(members.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
+    // localCheckpoint (not persist): iterative DataFrames otherwise double
+    // their plan tree every round and OOM the DRIVER on analysis
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint(true)
+
+    var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      // neighbor-min step
+      val prop = labels.as("l").join(edges.as("e"), col("l.doc_id") === col("e.src"))
+        .select(col("e.dst").as("doc_id"), col("l.label"))
+      val viaNeighbors = labels.union(prop).groupBy($"doc_id").agg(min($"label").as("label"))
+      // pointer-jumping step (label := label of my label): halves label-
+      // chain lengths, so convergence is O(log diameter) rounds
+      val next = viaNeighbors.as("a")
+        .join(viaNeighbors.as("b"), col("a.label") === col("b.doc_id"), "left")
+        .select(col("a.doc_id"),
+          coalesce(least(col("a.label"), col("b.label")), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    labels.groupBy($"label".as("cluster_id")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Two-column rollup (metrics rollup analog). */
   def qAggRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").groupBy($"lang", $"source")
