@@ -399,11 +399,13 @@ object Queries {
       val viaNeighbors = labels.union(prop).groupBy($"doc_id").agg(min($"label").as("label"))
       // pointer-jumping step (label := label of my label): halves label-
       // chain lengths, so convergence is O(log diameter) rounds
+      // lazy checkpoint: the convergence count below materializes it, so
+      // each round costs ONE job, not a checkpoint job plus a count job
       val next = viaNeighbors.as("a")
         .join(viaNeighbors.as("b"), col("a.label") === col("b.doc_id"), "left")
         .select(col("a.doc_id"),
           coalesce(least(col("a.label"), col("b.label")), col("a.label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.as("n").join(labels.as("o"), "doc_id")
         .filter(col("n.label") =!= col("o.label")).count()
       labels = next
