@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.jobs.{DecodeJob, EncodeJob, VerifyJob}
+import graft.jobs.{DecodeJob, VerifyJob}
 import graft.model.Page
 import graft.sources.WebtextGen
 

@@ -1,6 +1,6 @@
 package graft.codec
 
-import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.io.ByteArrayOutputStream
 
 /** Unsigned LEB128 varints + zigzag, used by codec block headers and by
   * the RLE/dict codecs for counts and lengths (we widen the reference's
