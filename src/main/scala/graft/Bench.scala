@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   * as -1 and the exception surfaces in an `errors` field, so a broken
   * query can never masquerade as a fast one.
   *
-  * Optional args (profiling): a repeat count (`-r N`) and/or query names
-  * to restrict to, e.g. `runMain graft.Bench -r 3 q_for_frames`.
+  * Each query is timed best-of-3 by default: this host's shared disk
+  * gives single-shot timings up to 5x swings that loadavg does not show
+  * (one full pass measured 91 s where best-of-3 measured 25 s). Override
+  * with `-r N`; query names restrict the set, e.g.
+  * `runMain graft.Bench -r 1 q_for_frames`.
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
   */
 object Bench {
@@ -26,7 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val (repeat, names) = args.toList match {
       case "-r" :: n :: rest => (n.toInt, rest)
-      case rest              => (1, rest)
+      case rest              => (3, rest)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
