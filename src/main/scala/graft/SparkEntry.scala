@@ -26,6 +26,9 @@ object SparkEntry {
     // relational surface
     "q_scan_project" -> (qScanProject(_, _)),
     "q_join_segments" -> (qJoinSegments(_, _)),
+    "q_semi_join" -> (qSemiJoin(_, _)),
+    "q_anti_join" -> (qAntiJoin(_, _)),
+    "q_salted_agg" -> (qSaltedAgg(_, _)),
     "q_topk_sources" -> (qTopkSources(_, _)),
     "q_set_pending" -> (qSetPending(_, _)),
     "q_window_running" -> (qWindowRunning(_, _)),
@@ -103,6 +106,18 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+    // the oracle is the UNSALTED aggregation: a hash match proves the
+    // salted two-phase plan computes identical results
+    "q_salted_agg" ->
+      """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY source""".stripMargin,
     "q_topk_sources" ->
       """SELECT source, count(*) AS cnt FROM documents
         |GROUP BY source ORDER BY cnt DESC, source LIMIT 10""".stripMargin,

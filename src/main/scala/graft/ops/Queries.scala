@@ -89,6 +89,35 @@ object Queries {
         sum(round($"o_totalprice" * 100).cast("bigint")).as("total_cents"))
   }
 
+  /** Left-semi join: customers holding at least one urgent order — the
+    * existence-check shape (resume's "pid already in manifest" test). */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = t(spark, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    t(spark, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  /** Left-anti join: orders with no lineitem — the resume "pending =
+    * not yet completed" shape as an explicit anti-join (EncodeJob uses
+    * the same idea against the manifest pid set). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey", "left_anti")
+      .select($"o_orderkey", $"o_orderpriority")
+
+  /** Skew-safe aggregation: two-phase salted groupBy — phase 1 aggregates
+    * (key, salt) so a hot key spreads over 8 reducers, phase 2 merges the
+    * partials per key. The oracle is the PLAIN single-phase GROUP BY, so
+    * the hash compare proves salting changes the plan, never the answer. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("salt", pmod(hash($"doc_id"), lit(8)))
+      .groupBy($"source", $"salt")
+      .agg(count(lit(1)).as("pcnt"), sum($"n_chars").as("pchars"))
+      .groupBy($"source")
+      .agg(sum($"pcnt").as("cnt"), sum($"pchars").as("chars"))
+
   /** Top-k skewed groups (salting decision input). */
   def qTopkSources(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").groupBy($"source").agg(count(lit(1)).as("cnt"))
