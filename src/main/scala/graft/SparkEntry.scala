@@ -172,7 +172,8 @@ object SparkEntry {
         |SELECT label AS cluster_id, count(*) AS n_docs FROM labels GROUP BY label""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
-        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpeish
         |FROM documents""".stripMargin,
     "q_lang_id" ->
       """SELECT lang,

@@ -150,12 +150,18 @@ object Queries {
     t(spark, dir, "documents").groupBy(md5($"text".cast("binary")).as("h"))
       .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keep_id"))
 
-  /** Token/char counting (whitespace tokenizer). */
+  /** Token/char counting: whitespace tokens plus a BPE-ish regex count
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs — the GPT-2 pre-tokenizer shape, which tracks real
+    * subword-tokenizer counts far better than whitespace does). */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       $"doc_id",
       length($"text").cast("bigint").as("n_chars_m"),
-      size(split($"text", " ", -1)).cast("bigint").as("n_tokens"))
+      size(split($"text", " ", -1)).cast("bigint").as("n_tokens"),
+      size(regexp_extract_all($"text",
+        lit("'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
+        .cast("bigint").as("n_bpeish"))
 
   /** Heuristic language-ID vs the labeled lang column. */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
