@@ -34,6 +34,7 @@ object SparkEntry {
     "q_window_running" -> (qWindowRunning(_, _)),
     "q_ntile_ranges" -> (qNtileRanges(_, _)),
     "q_agg_rollup" -> (qAggRollup(_, _)),
+    "q_json_roundtrip" -> (qJsonRoundtrip(_, _)),
     // training-data pipeline ops
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_clusters" -> (qDedupClusters(_, _)),
@@ -135,6 +136,17 @@ object SparkEntry {
     "q_agg_rollup" ->
       """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang, source""".stripMargin,
+    // each engine builds its own JSON then extracts; only extracted
+    // values are compared (raw JSON text differs in key order/spacing)
+    "q_json_roundtrip" ->
+      """WITH j AS (SELECT doc_id,
+        |                  to_json(struct_pack(lang := lang, source := source, n_chars := n_chars)) AS js
+        |           FROM documents)
+        |SELECT doc_id,
+        |       json_extract_string(js, '$.lang') AS lang_j,
+        |       json_extract_string(js, '$.source') AS source_j,
+        |       CAST(json_extract_string(js, '$.n_chars') AS BIGINT) AS n_chars_j
+        |FROM j""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text)""".stripMargin,

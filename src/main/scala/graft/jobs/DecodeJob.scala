@@ -26,9 +26,16 @@ object DecodeJob {
 
   val ColumnNames: Seq[String] = Seq("url", "warc_ts", "html", "text", "lang")
 
+  /** Chunk-table scan with the schema pinned explicitly: an empty chunks
+    * directory (an encode of an empty input) then reads as zero rows
+    * instead of failing parquet schema inference. */
+  private def chunkScan(spark: SparkSession, outDir: String) =
+    spark.read.schema(Encoders.product[EncodedChunk].schema)
+      .format(TableIO.format(spark)).load(EncodeJob.chunksDir(outDir))
+
   def run(spark: SparkSession, outDir: String): Dataset[Page] = {
     import spark.implicits._
-    TableIO.read(spark, EncodeJob.chunksDir(outDir)).as[EncodedChunk]
+    chunkScan(spark, outDir).as[EncodedChunk]
       .mapPartitions(_.flatMap(decodeChunk))
   }
 
@@ -47,7 +54,7 @@ object DecodeJob {
     val needUrl = urlRange.isDefined && !columns.contains("url")
     val decodeCols = if (needUrl) "url" +: columns else columns
 
-    var chunks = TableIO.read(spark, EncodeJob.chunksDir(outDir))
+    var chunks = chunkScan(spark, outDir)
     urlRange.foreach { case (lo, hi) =>
       chunks = chunks.filter(col("urlMax") >= lo && col("urlMin") <= hi)
     }

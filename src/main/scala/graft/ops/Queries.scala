@@ -450,6 +450,19 @@ object Queries {
     labels.groupBy($"label".as("cluster_id")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** JSON functions: serialize per-row metadata to JSON and extract it
+    * back (each engine builds its own JSON, so only the extracted values
+    * — identical across engines — are compared). The shape of a sidecar
+    * metadata column in a crawl pipeline. */
+  def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id", to_json(struct($"lang", $"source", $"n_chars")).as("js"))
+      .select(
+        $"doc_id",
+        get_json_object($"js", "$.lang").as("lang_j"),
+        get_json_object($"js", "$.source").as("source_j"),
+        get_json_object($"js", "$.n_chars").cast("bigint").as("n_chars_j"))
+
   /** Two-column rollup (metrics rollup analog). */
   def qAggRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").groupBy($"lang", $"source")

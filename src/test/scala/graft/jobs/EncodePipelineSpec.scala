@@ -39,6 +39,9 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     val empty = spark.emptyDataset[graft.model.Page]
     val res = EncodeJob.run(spark, empty, outDir, EncodeJob.Config(numPartitions = 4))
     assert(res.rows == 0L && res.encBytes == 0L && res.pidsEncoded == 0L)
+    // and the empty output decodes as zero rows, full and projected
+    assert(DecodeJob.run(spark, outDir).count() == 0L)
+    assert(DecodeJob.runProjected(spark, outDir, Seq("url")).count() == 0L)
   }
 
   test("resume: interrupted run skips completed partitions, identical result") {
