@@ -166,6 +166,7 @@ object ScalingBench {
     // neighbors at loadavg 10+) cannot sit inside all of one level's
     // reps — back-to-back reps give correlated noise that best-of-N
     // cannot remove. Best per level across rounds is kept.
+    require(cpuLevels.contains(32), "cpuLevels must include 32 (sizes + fl-only run key off it)")
     val specs: Seq[(Int, String)] = cpuLevels.map(c => (c, "auto")) :+ ((32, "fl"))
     var best = Map.empty[(Int, String), (LevelResult, Long, Long, Long)]
     (1 to reps).foreach { round =>
@@ -184,7 +185,6 @@ object ScalingBench {
     def wall(c: Int): Double = lvl.find(_.cpus == c).map(_.wallSec).getOrElse(Double.NaN)
     val effPrimary = (wall(2) / wall(8)) / 4.0
     val effSecondary = (wall(8) / wall(32)) / 4.0
-    require(sizes._1 > 0L, "cpuLevels must include 32")
     val (rawB, encB, flB) = sizes
 
     // reference-equivalent FL-only mode: same pipeline, codec fixed to the

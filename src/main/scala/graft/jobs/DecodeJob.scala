@@ -97,8 +97,18 @@ object DecodeJob {
         }.toMap
         val keep: Int => Boolean = range match {
           case Some((lo, hi)) =>
+            // compare in UTF-8 byte order — the SAME ordering the encoder
+            // sorted by and the chunk-level (urlMin, urlMax) filter uses;
+            // Java String order (UTF-16 code units) disagrees with UTF-8
+            // for supplementary characters vs U+E000..U+FFFF
+            val loB = lo.getBytes(UTF_8)
+            val hiB = hi.getBytes(UTF_8)
             val urlAt = decoded("url")
-            j => { val u = urlAt(j).asInstanceOf[String]; u >= lo && u <= hi }
+            j => {
+              val u = urlAt(j).asInstanceOf[String].getBytes(UTF_8)
+              java.util.Arrays.compareUnsigned(u, loB) >= 0 &&
+                java.util.Arrays.compareUnsigned(u, hiB) <= 0
+            }
           case None => _ => true
         }
         Iterator.tabulate(n)(j => j).filter(keep)
@@ -115,6 +125,9 @@ object DecodeJob {
   }
 
   def decodeChunk(chunk: EncodedChunk): Iterator[Page] = {
+    require(chunk.url != null && chunk.url.block != null,
+      s"chunk pid=${chunk.pid} blockIdx=${chunk.blockIdx} has no per-column " +
+        "struct fields — written by a pre-columnar-layout encoder? Re-encode the table.")
     val urls = ColumnCodec.decodeBytes(chunk.url.block)
     val (tsMicros, tsNulls) = ColumnCodec.decodeLongs(chunk.warc_ts.block)
     val htmls = ColumnCodec.decodeBytes(chunk.html.block)

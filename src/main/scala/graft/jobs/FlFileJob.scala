@@ -100,8 +100,15 @@ object FlFileJob {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       hdr.putLong(totalIn).putLong(totalBits).putLong(totalValues)
       os.write(hdr.array())
-      for (kind <- Seq("bits", "values"); idx <- meta.map(_._1))
-        Files.copy(Paths.get(f"$partsDir/$kind-$idx%05d"), os)
+      for (kind <- Seq("bits", "values"); m <- meta) {
+        val part = Paths.get(f"$partsDir/$kind-${m._1}%05d")
+        val want = if (kind == "bits") m._3 else m._4
+        // header sizes come from task metadata; the payload from disk —
+        // fail fast if they disagree (interleaved writes, zombie attempt)
+        require(Files.size(part) == want,
+          s"$part is ${Files.size(part)} bytes, task reported $want — corrupt part")
+        Files.copy(part, os)
+      }
     } finally os.close()
     rmrf(Paths.get(partsDir))
     ReferenceFl.HeaderBytes + totalBits + totalValues

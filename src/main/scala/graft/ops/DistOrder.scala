@@ -105,12 +105,18 @@ object DistOrder {
     val baseBc = spark.sparkContext.broadcast(baseB.result())
 
     import spark.implicits._
-    localRuns
+    val result = localRuns
       .map(r => (baseBc.value(r.part) + r.idx, r.v, r.len))
       .toDF("run_id", "val", "run_len")
       // a run chained across partitions shares one id; summing re-joins it
       .groupBy(col("run_id"))
       .agg(min(col("val")).as("val"), sum(col("run_len")).as("run_len"))
+    // materialize the (merged, smaller) result once, then drop the cached
+    // intermediate — repeated invocations in one session otherwise leak
+    // persisted blocks for the session's lifetime
+    val out = result.localCheckpoint(true)
+    localRuns.unpersist(false)
+    out
   }
 
   /** Per-partition contribution to one ntile bucket. */
@@ -178,7 +184,11 @@ object DistOrder {
       }
     }(Encoders.product[BucketPart])
 
-    partials.groupBy(col("bucket"))
+    // <= `tiles` rows: materialize, then release the cached keyed rows
+    val out = partials.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("cnt"), min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .localCheckpoint(true)
+    parted.unpersist(false)
+    out
   }
 }

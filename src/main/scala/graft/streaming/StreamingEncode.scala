@@ -53,8 +53,10 @@ object StreamingEncode {
         val pages = batch.as[Page](Encoders.product[Page])
         val r = EncodeJob.run(spark, pages, outDir, cfg.copy(resume = false))
         // scalastyle:off println — operational one-liner, mirrors PipelineCli
+        // Result aggregates the WHOLE manifest dir, which accumulates one
+        // row set per micro-batch — label these as running totals
         println(s"""{"op":"stream-encode","batchId":$batchId,"rowsTotal":${r.rows},""" +
-          s""""encBytesTotal":${r.encBytes},"pidsThisBatch":${r.pidsEncoded}}""")
+          s""""encBytesTotal":${r.encBytes},"manifestRowsTotal":${r.pidsEncoded}}""")
         ()
       }
       .start()
