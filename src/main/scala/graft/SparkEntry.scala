@@ -5,14 +5,16 @@ import graft.ops.Queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One `queries` entry per operator (SURVEY.md §2 Table B + the
   * training-pipeline ops); `oracleSql` holds the DuckDB-equivalent SQL
-  * with identical column names/types. Byte-level codec ops have no SQL
-  * oracle (rows-only check) and are covered by the ScalaTest suites. */
+  * with identical column names/types. Every query is oracled — the
+  * byte-level flagship via its partition-independent projection
+  * (raw_bytes + the pinned bound_ok flag); codec internals are
+  * additionally covered by the ScalaTest suites. */
 object SparkEntry {
 
   /** Flagship on sf0.001: the codec engine applied to `documents` —
     * selector choice + realized compression per column. */
   def entry(spark: SparkSession): DataFrame =
-    qEncodeStats(spark, "/root/testdata/sf0.001")
+    encodeStatsDetail(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // codec-engine stats / oracles
@@ -99,6 +101,22 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) AS m, count(*) AS cnt,
         |       min(o_orderdate) AS ts_min, max(o_orderdate) AS ts_max
         |FROM orders GROUP BY 1""".stripMargin,
+    // raw_bytes is exact and partition-independent (payload bytes + 8/row
+    // of offsets for strings, 8/row for longs); bound_ok pinned to 1 makes
+    // the hash compare assert the structural north-rule size bound
+    // sum(encBytes) <= sum(flBaselineBytes). Codec picks / encoded sizes
+    // are engine-specific and stay in encodeStatsDetail (rows-only-free).
+    "q_encode_stats" ->
+      """SELECT 'doc_id' AS col_name, CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+        |       CAST(1 AS BIGINT) AS bound_ok FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(8 * count(*) AS BIGINT), CAST(1 AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(sum(strlen(lang)) + 8 * count(*) AS BIGINT), CAST(1 AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(sum(strlen(source)) + 8 * count(*) AS BIGINT), CAST(1 AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'text', CAST(sum(strlen(text)) + 8 * count(*) AS BIGINT), CAST(1 AS BIGINT) FROM documents""".stripMargin,
     "q_scan_project" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0""".stripMargin,
@@ -271,7 +289,7 @@ object SparkEntry {
         |FROM asg a JOIN probe USING (cell), q
         |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
     "q_embed_lsh_buckets" ->
-      ("""SELECT CAST(""" + (1 to 8).map(i =>
+      ("""SELECT CAST(""" + (1 to graft.ops.Queries.EmbedLshBits).map(i =>
         s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ") +
         """ AS BIGINT) AS bucket, count(*) AS cnt, min(vec_id) AS min_vec
           |FROM embeddings GROUP BY 1""".stripMargin),

@@ -341,6 +341,115 @@ object ColumnCodec {
     Encoded(winner, bytes, rawBytes, flBaseline)
   }
 
+  /** Zero-copy decoded view of a bytes column: row i is
+    * `payload[starts(i), starts(i)+lens(i))` (or null). Exists because the
+    * decode hot path (DecodeJob) mostly turns values straight into Strings
+    * or CRC updates — materializing an Array[Byte] per row first
+    * (decodeBytes) is a copy per value that the consumer immediately
+    * throws away. For dict-encoded columns the win is bigger still: rows
+    * point into the SHARED dictionary buffer, so a column of 64k rows over
+    * 5 distinct values decodes with zero payload expansion. */
+  final class BytesView(
+      val n: Int,
+      val nulls: Array[Boolean],
+      val payload: Array[Byte],
+      private val starts: Array[Int],
+      private val lens: Array[Int]) {
+    @inline def isNull(i: Int): Boolean = nulls != null && nulls(i)
+    @inline def start(i: Int): Int = starts(i)
+    @inline def len(i: Int): Int = lens(i)
+    def stringAt(i: Int): String =
+      if (isNull(i)) null
+      else new String(payload, starts(i), lens(i), java.nio.charset.StandardCharsets.UTF_8)
+    def copyAt(i: Int): Array[Byte] =
+      if (isNull(i)) null
+      else java.util.Arrays.copyOfRange(payload, starts(i), starts(i) + lens(i))
+  }
+
+  /** Decode to a [[BytesView]] (no per-row payload copies); the row-array
+    * form is [[decodeBytes]]. */
+  def decodeBytesView(block: Array[Byte]): BytesView = {
+    val h = readHeader(block)
+    val form = h.cur.readByte()
+    // (payload, presentStarts, presentLens) for the non-null rows in order
+    val (payload, pStarts, pLens): (Array[Byte], Array[Int], Array[Int]) = form match {
+      case FormBytesDict =>
+        val dictSize = h.cur.readUnsignedVarint().toInt
+        val dStarts = new Array[Int](dictSize)
+        val dLens = new Array[Int](dictSize)
+        // dictionary entries live in the block buffer itself (after their
+        // varint length prefixes); point straight at them, no copies
+        var j = 0
+        while (j < dictSize) {
+          val l = h.cur.readUnsignedVarint().toInt
+          dLens(j) = l
+          dStarts(j) = h.cur.pos
+          h.cur.pos += l
+          j += 1
+        }
+        val codec = LongCodecs.byId(h.cur.readByte())
+        val codes = codec.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val starts = new Array[Int](codes.length)
+        val lens = new Array[Int](codes.length)
+        var i = 0
+        while (i < codes.length) {
+          val c = codes(i).toInt
+          starts(i) = dStarts(c)
+          lens(i) = dLens(c)
+          i += 1
+        }
+        (h.cur.buf, starts, lens)
+      case FormBytesComposite =>
+        val lenCodec = LongCodecs.byId(h.cur.readByte())
+        val lenBlockLen = h.cur.readUnsignedVarint().toInt
+        val lengths = lenCodec.decode(h.cur.readBytes(lenBlockLen))
+        val pCodec = ByteCodecs.byId(h.cur.readByte())
+        val payload = pCodec.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val starts = new Array[Int](lengths.length)
+        val lens = new Array[Int](lengths.length)
+        var off = 0
+        var i = 0
+        while (i < lengths.length) {
+          val l = lengths(i).toInt
+          starts(i) = off
+          lens(i) = l
+          off += l
+          i += 1
+        }
+        (payload, starts, lens)
+      case FormBytesFlPlain =>
+        val presentCount = if (h.nulls == null) h.n else h.nulls.count(!_)
+        val plain = FlBytes.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val bb = java.nio.ByteBuffer.wrap(plain, 0, presentCount * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val starts = new Array[Int](presentCount)
+        val lens = new Array[Int](presentCount)
+        var off = presentCount * 8
+        var i = 0
+        while (i < presentCount) {
+          val l = bb.getLong().toInt
+          starts(i) = off
+          lens(i) = l
+          off += l
+          i += 1
+        }
+        (plain, starts, lens)
+      case f => throw new IllegalArgumentException(s"bad bytes form $f")
+    }
+    if (h.nulls == null) new BytesView(h.n, null, payload, pStarts, pLens)
+    else {
+      // scatter present entries to row positions; null rows keep (0, 0)
+      val starts = new Array[Int](h.n)
+      val lens = new Array[Int](h.n)
+      var src = 0
+      var i = 0
+      while (i < h.n) {
+        if (!h.nulls(i)) { starts(i) = pStarts(src); lens(i) = pLens(src); src += 1 }
+        i += 1
+      }
+      new BytesView(h.n, h.nulls, payload, starts, lens)
+    }
+  }
+
   def decodeBytes(block: Array[Byte]): Array[Array[Byte]] = {
     val h = readHeader(block)
     val form = h.cur.readByte()

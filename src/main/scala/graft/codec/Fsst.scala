@@ -39,12 +39,20 @@ case object FsstBytes extends ByteCodec {
     val nSymbols = cur.readByte()
     val lens = cur.readBytes(nSymbols)
     val symBytes = cur.readBytes(lens.map(_ & 0xff).sum)
-    val symbols = new Array[Array[Byte]](nSymbols)
+    // symbols are <= 8 bytes: keep them packed in a long each and emit
+    // with a register shift loop — no per-symbol array deref, no tiny
+    // System.arraycopy call overhead in the hottest decode loop
+    val symVals = new Array[Long](nSymbols)
+    val symLens = new Array[Int](nSymbols)
     var off = 0
     var s = 0
     while (s < nSymbols) {
       val l = lens(s) & 0xff
-      symbols(s) = java.util.Arrays.copyOfRange(symBytes, off, off + l)
+      var v = 0L
+      var j = 0
+      while (j < l) { v |= (symBytes(off + j) & 0xffL) << (8 * j); j += 1 }
+      symVals(s) = v
+      symLens(s) = l
       off += l
       s += 1
     }
@@ -60,9 +68,11 @@ case object FsstBytes extends ByteCodec {
         outPos += 1
         i += 2
       } else {
-        val sym = symbols(code)
-        System.arraycopy(sym, 0, out, outPos, sym.length)
-        outPos += sym.length
+        var v = symVals(code)
+        val l = symLens(code)
+        var j = 0
+        while (j < l) { out(outPos + j) = v.toByte; v >>>= 8; j += 1 }
+        outPos += l
         i += 1
       }
     }

@@ -74,25 +74,34 @@ object DecodeJob {
     val rows = narrow.mapPartitions { it =>
       it.flatMap { r =>
         val n = r.getLong(0).toInt
+        var urlView: ColumnCodec.BytesView = null
         val decoded: Map[String, Int => Any] = decodeCols.zipWithIndex.map { case (c, i) =>
           val block = r.getAs[Array[Byte]](metaWidth + i)
+          require(block != null,
+            s"chunk pid=${r.getInt(1)} blockIdx=${r.getInt(2)} has no '$c' column " +
+              "block — written by a pre-columnar-layout encoder? Re-encode the table.")
           c -> (c match {
             case "warc_ts" =>
               val (micros, nulls) = ColumnCodec.decodeLongs(block)
               (j: Int) => if (nulls != null && nulls(j)) null else microsToTs(micros(j))
             case "html" =>
-              val vals = ColumnCodec.decodeBytes(block)
-              (j: Int) => vals(j)
+              val v = ColumnCodec.decodeBytesView(block)
+              (j: Int) => v.copyAt(j)
             case "text" =>
-              val vals = ColumnCodec.decodeBytes(block)
+              val v = ColumnCodec.decodeBytesView(block)
               val crc = new java.util.zip.CRC32()
-              vals.foreach(t => if (t != null) crc.update(t))
+              var k = 0
+              while (k < v.n) {
+                if (!v.isNull(k)) crc.update(v.payload, v.start(k), v.len(k))
+                k += 1
+              }
               require(crc.getValue == r.getLong(3),
                 s"chunk pid=${r.getInt(1)} blockIdx=${r.getInt(2)}: decoded text CRC mismatch")
-              (j: Int) => new String(vals(j), UTF_8)
+              (j: Int) => v.stringAt(j)
             case _ =>
-              val vals = ColumnCodec.decodeBytes(block)
-              (j: Int) => new String(vals(j), UTF_8)
+              val v = ColumnCodec.decodeBytesView(block)
+              if (c == "url") urlView = v
+              (j: Int) => v.stringAt(j)
           })
         }.toMap
         val keep: Int => Boolean = range match {
@@ -100,14 +109,16 @@ object DecodeJob {
             // compare in UTF-8 byte order — the SAME ordering the encoder
             // sorted by and the chunk-level (urlMin, urlMax) filter uses;
             // Java String order (UTF-16 code units) disagrees with UTF-8
-            // for supplementary characters vs U+E000..U+FFFF
+            // for supplementary characters vs U+E000..U+FFFF. The view
+            // compares payload ranges in place — no String round-trip.
             val loB = lo.getBytes(UTF_8)
             val hiB = hi.getBytes(UTF_8)
-            val urlAt = decoded("url")
-            j => {
-              val u = urlAt(j).asInstanceOf[String].getBytes(UTF_8)
-              java.util.Arrays.compareUnsigned(u, loB) >= 0 &&
-                java.util.Arrays.compareUnsigned(u, hiB) <= 0
+            val v = urlView
+            j => !v.isNull(j) && {
+              val s = v.start(j)
+              val e = s + v.len(j)
+              java.util.Arrays.compareUnsigned(v.payload, s, e, loB, 0, loB.length) >= 0 &&
+                java.util.Arrays.compareUnsigned(v.payload, s, e, hiB, 0, hiB.length) <= 0
             }
           case None => _ => true
         }
@@ -128,25 +139,31 @@ object DecodeJob {
     require(chunk.url != null && chunk.url.block != null,
       s"chunk pid=${chunk.pid} blockIdx=${chunk.blockIdx} has no per-column " +
         "struct fields — written by a pre-columnar-layout encoder? Re-encode the table.")
-    val urls = ColumnCodec.decodeBytes(chunk.url.block)
+    // view decode: Strings are built straight from the shared payload
+    // buffers (one copy inside the String) instead of materializing an
+    // Array[Byte] per value first; only html (a genuine binary column)
+    // pays a per-row copy
+    val urls = ColumnCodec.decodeBytesView(chunk.url.block)
     val (tsMicros, tsNulls) = ColumnCodec.decodeLongs(chunk.warc_ts.block)
-    val htmls = ColumnCodec.decodeBytes(chunk.html.block)
-    val texts = ColumnCodec.decodeBytes(chunk.text.block)
-    val langs = ColumnCodec.decodeBytes(chunk.lang.block)
+    val htmls = ColumnCodec.decodeBytesView(chunk.html.block)
+    val texts = ColumnCodec.decodeBytesView(chunk.text.block)
+    val langs = ColumnCodec.decodeBytesView(chunk.lang.block)
     // lineage check: decoded text must reproduce the CRC the encoder
     // recorded for this chunk — corruption fails fast, at the chunk that
     // broke, instead of surfacing later as a verify-join mismatch
     val crc = new java.util.zip.CRC32()
-    texts.foreach(t => if (t != null) crc.update(t))
+    var ci = 0
+    while (ci < texts.n) {
+      if (!texts.isNull(ci)) crc.update(texts.payload, texts.start(ci), texts.len(ci))
+      ci += 1
+    }
     require(crc.getValue == chunk.textCrc32,
       s"chunk pid=${chunk.pid} blockIdx=${chunk.blockIdx}: decoded text CRC " +
         s"${crc.getValue} != recorded ${chunk.textCrc32} (corrupt block?)")
     val n = chunk.rows.toInt
     Iterator.tabulate(n) { i =>
       val ts = if (tsNulls != null && tsNulls(i)) null else microsToTs(tsMicros(i))
-      Page(
-        new String(urls(i), UTF_8), ts, htmls(i),
-        new String(texts(i), UTF_8), new String(langs(i), UTF_8))
+      Page(urls.stringAt(i), ts, htmls.copyAt(i), texts.stringAt(i), langs.stringAt(i))
     }
   }
 }

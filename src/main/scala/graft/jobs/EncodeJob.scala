@@ -30,11 +30,13 @@ import graft.sources.TableIO
   * gather-to-rank-0 (fl_gpu.cu:41-74) is inverted into a distributed
   * write + O(#pids) metadata, which is the piece that scales.
   *
-  * Manifest-vs-disk consistency: summaries come only from SUCCESSFUL
-  * tasks of the same action that committed the chunk files (Spark drops
-  * accumulator updates of failed attempts), so a manifest row still
-  * describes data actually on disk; duplicate summaries from speculative
-  * twin attempts are deduped by pid (a pid lives in exactly one task).
+  * Manifest-vs-disk consistency: the accumulator is updated in a
+  * transformation, where Spark only guarantees at-least-once delivery
+  * (exactly-once holds for actions only) — so speculative or retried
+  * twin attempts may each report the same pid. Dedupe by pid handles
+  * that, with the twins asserted to agree (same blocks/rows/encBytes/
+  * crc) so real divergence fails loudly; the committed chunk files
+  * themselves are exactly-once via the parquet output committer.
   *
   * Resume (north_rule): url-range bounds are sampled once and pinned in
   * `bounds.json`; pid assignment is a pure function of (url, bounds), so
@@ -74,6 +76,17 @@ object EncodeJob {
       maxBlockRows: Int = 65536,
       resume: Boolean = true,
       seedSampleSize: Int = 10000,
+      /** Pin bounds.json only when the bounds sample saw at least this
+        * many rows (0 = always pin). Guards streaming front ends: a tiny
+        * first micro-batch would otherwise pin unrepresentative url
+        * bounds forever. Unpinned runs still use the computed bounds —
+        * deterministically (seeded reservoir), so a resume over identical
+        * input re-derives identical pids. */
+      boundsPinMinRows: Long = 0L,
+      /** Manifest lineage tag; None = fresh random UUID. Streaming sets
+        * a deterministic per-micro-batch tag ("batch-<id>") so a replayed
+        * batch is detectable and skippable (exactly-once pattern). */
+      attemptId: Option[String] = None,
       /** Checkpoint wave: only encode pending pids < this bound, then
         * commit chunks+manifest. Repeated calls with a growing bound (or
         * None = all) give partition-granular resumability even though each
@@ -163,8 +176,11 @@ object EncodeJob {
           }
           out.toArray.distinct
         }
-      Files.createDirectories(p.getParent)
-      Files.writeString(p, bounds.map(jsonQuote).mkString("[", ",", "]"))
+      val sampledRows = perPart.map(_._1).sum
+      if (sampledRows >= cfg.boundsPinMinRows) {
+        Files.createDirectories(p.getParent)
+        Files.writeString(p, bounds.map(jsonQuote).mkString("[", ",", "]"))
+      }
       bounds
     }
   }
@@ -245,17 +261,39 @@ object EncodeJob {
         summarizing(encodePartition(it, targetBytes, maxRows, flOnly), summaryAcc)
       }
 
-    TableIO.write(chunks.toDF(), chunksDir(outDir), SaveMode.Append)
+    // Chunk payloads are ALREADY compressed by the codec layer, so a file-
+    // level codec on top buys ~nothing on the dominant binary leaves and
+    // costs CPU on a write-bound pipeline (BENCH.md: writes are ~70% of the
+    // 32-core encode wall). Default uncompressed; override via conf for
+    // tables whose payloads are mostly plain.
+    val chunkCompression = spark.conf.getOption("spark.graft.chunks.compression")
+      .getOrElse("uncompressed")
+    TableIO.write(chunks.toDF(), chunksDir(outDir), SaveMode.Append,
+      Map("compression" -> chunkCompression))
     val tEncode = System.nanoTime()
 
     // manifest straight from the kernel summaries (O(#pids), no re-read of
-    // the chunk table); append-safe for resume
-    val attemptId = java.util.UUID.randomUUID().toString
+    // the chunk table); append-safe for resume. NB the accumulator is
+    // updated in a TRANSFORMATION (the mapPartitions feeding the write) —
+    // Spark's exactly-once accumulator guarantee covers only actions, so
+    // speculative/retried twin attempts can each deliver a summary for the
+    // same pid. The pid dedupe below handles that; duplicates are asserted
+    // byte-equal on (blocks, rows, encBytes, textCrc32Xor) so a REAL
+    // divergence (two attempts that encoded different data) fails loudly
+    // instead of being masked by an arbitrary pick.
+    val attemptId = cfg.attemptId.getOrElse(java.util.UUID.randomUUID().toString)
     val finishedAt = System.currentTimeMillis()
     val manifestRows = {
       import scala.jdk.CollectionConverters._
       summaryAcc.value.asScala
-        .groupBy(_.pid).map(_._2.head) // speculative twin attempts dedupe by pid
+        .groupBy(_.pid).map { case (pid, twins) =>
+          val agree = twins.forall(t =>
+            t.blocks == twins.head.blocks && t.rows == twins.head.rows &&
+              t.encBytes == twins.head.encBytes && t.textCrc32Xor == twins.head.textCrc32Xor)
+          require(agree, s"pid $pid: twin task attempts produced DIFFERENT summaries " +
+            s"(${twins.map(t => (t.blocks, t.rows, t.encBytes)).toSet}) — non-deterministic encode?")
+          twins.minBy(_.encodeNanos) // deterministic pick among agreeing twins
+        }
         .toSeq.sortBy(_.pid)
         .map(s => PartitionManifest(
           s.pid, s.blocks, s.rows, s.urlMin, s.urlMax, s.rawBytes, s.encBytes,
@@ -287,6 +325,9 @@ object EncodeJob {
       manifestNanos = System.nanoTime() - tEncode)
   }
 
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+
   /** Pass-through iterator that folds every produced chunk into per-pid
     * summaries and flushes them to the accumulator exactly once, when the
     * kernel is exhausted (i.e. when the task has produced all its rows). */
@@ -308,8 +349,11 @@ object EncodeJob {
           case None => PidSummary(c.pid, 1L, c.rows, c.urlMin, c.urlMax, c.rawBytes,
             c.encBytes, c.flBaselineBytes, c.encodeNanos, c.textCrc32, cCodecs)
           case Some(s) => PidSummary(c.pid, s.blocks + 1, s.rows + c.rows,
-            if (s.urlMin <= c.urlMin) s.urlMin else c.urlMin,
-            if (s.urlMax >= c.urlMax) s.urlMax else c.urlMax,
+            // UTF-8 binary order — the SAME ordering the kernel's sort and
+            // the decode range filter use; Java String (UTF-16 code unit)
+            // order disagrees for supplementary-plane characters
+            if (utf8Compare(s.urlMin, c.urlMin) <= 0) s.urlMin else c.urlMin,
+            if (utf8Compare(s.urlMax, c.urlMax) >= 0) s.urlMax else c.urlMax,
             s.rawBytes + c.rawBytes, s.encBytes + c.encBytes,
             s.flBaselineBytes + c.flBaselineBytes, s.encodeNanos + c.encodeNanos,
             s.textCrc32Xor ^ c.textCrc32,

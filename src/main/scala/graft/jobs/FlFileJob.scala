@@ -27,13 +27,26 @@ import graft.codec.ReferenceFl
   * every-rank-opens-the-file model (works in local mode and on any
   * cluster with a shared FS).
   *
+  * Decompress is the symmetric distributed job. The reference has no
+  * distributed decompress at all (main.cu:131-169: `fl` -> GPU else CPU,
+  * no MPI variant) — but its own device path already contains the key
+  * idea: an exclusive prefix scan over `bits[f]*128` yields every frame's
+  * bit offset (fl_gpu.cu:595-601). Here the driver streams the tiny
+  * `bits` array ONCE (1 byte per 128 input bytes; never materialized)
+  * and records the cumulative payload byte offset at each slice boundary
+  * — exact, because every full frame's payload is `bits_f*16` bytes,
+  * always byte-aligned, so a frame-aligned slice always starts on a byte
+  * boundary. Each task then seeks to its own (bits, values) ranges,
+  * decodes its frames independently, and writes a raw part file; the
+  * driver stream-concatenates parts in slice order. Driver memory is
+  * O(#slices) + a streaming buffer; per-task memory is bounded by the
+  * slice cap — the old driver-side whole-file read (and its 2 GiB
+  * Int-array ceiling) is gone.
+  *
   * This is the one deliberate RDD surface in the engine (north_rule says
   * Dataset-first): the input is an opaque byte file with no schema, so a
   * `parallelize` of slice bounds is the honest representation — there is
   * no row type for Catalyst to optimize.
-  *
-  * Decompress is driver-side, mirroring the reference where decompression
-  * has no MPI/NCCL variant at all (main.cu:131-169).
   */
 object FlFileJob {
 
@@ -74,13 +87,7 @@ object FlFileJob {
     val meta = spark.sparkContext
       .parallelize(bounds.zipWithIndex, bounds.size)
       .map { case ((start, end), idx) =>
-        val len = end - start
-        require(len <= Int.MaxValue,
-          s"slice $idx is $len bytes; sliceBounds must keep every slice under 2 GiB")
-        val raf = new java.io.RandomAccessFile(in, "r")
-        val buf =
-          try { val b = new Array[Byte](len.toInt); raf.seek(start); raf.readFully(b); b }
-          finally raf.close()
+        val buf = readRange(in, start, end - start, s"slice $idx")
         val c = ReferenceFl.compress(buf)
         Files.write(Paths.get(f"$partsDir/bits-$idx%05d"), c.bits)
         Files.write(Paths.get(f"$partsDir/values-$idx%05d"), c.values)
@@ -94,35 +101,139 @@ object FlFileJob {
     val totalIn = meta.map(_._2).sum
     val totalBits = meta.map(_._3).sum
     val totalValues = meta.map(_._4).sum
+    val parts =
+      meta.map(m => (Paths.get(f"$partsDir/bits-${m._1}%05d"), m._3)) ++
+        meta.map(m => (Paths.get(f"$partsDir/values-${m._1}%05d"), m._4))
+    concatParts(out, header(totalIn, totalBits, totalValues), parts)
+    rmrf(Paths.get(partsDir))
+    ReferenceFl.HeaderBytes + totalBits + totalValues
+  }
+
+  /** Distributed decompress; returns the raw (decoded) byte count. */
+  def decompress(spark: SparkSession, in: String, out: String, slices: Int = 32): Long = {
+    val hdr = readRange(in, 0L, ReferenceFl.HeaderBytes, "header")
+    val hb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val inputSize = hb.getLong()
+    val bitsSize = hb.getLong()
+    val valuesSize = hb.getLong()
+    if (inputSize == 0L) {
+      Files.write(Paths.get(out), Array.emptyByteArray)
+      return 0L
+    }
+    require(bitsSize == (inputSize + ReferenceFl.FrameLength - 1) / ReferenceFl.FrameLength,
+      s"corrupt header: $bitsSize bits entries for $inputSize input bytes")
+
+    // slice the OUTPUT space frame-aligned; the same bounds machinery (and
+    // 2 GiB cap) as compress, so decompress handles any file compress made
+    val bounds = sliceBounds(inputSize, slices)
+    val startFrames = bounds.map(_._1 / ReferenceFl.FrameLength)
+
+    // one streaming pass over the bits region (the reference's prefix scan
+    // over bits[f]*128, fl_gpu.cu:595-601, reduced to O(#slices) driver
+    // state): cumulative payload BYTE offset at each slice's start frame
+    val valueStarts = new Array[Long](bounds.size + 1)
+    val is = new java.io.BufferedInputStream(new java.io.FileInputStream(in), 1 << 20)
+    try {
+      var toSkip = ReferenceFl.HeaderBytes
+      while (toSkip > 0) {
+        val s = is.skip(toSkip)
+        require(s > 0, s"cannot skip header in $in")
+        toSkip -= s
+      }
+      var cumBits = 0L
+      var f = 0L
+      var b = 0
+      while (f < bitsSize) {
+        while (b < bounds.size && startFrames(b) == f) {
+          // full frames are bits_f*128 bits = bits_f*16 bytes: byte-aligned
+          require(cumBits % 8 == 0, s"slice $b starts mid-byte — corrupt bits array")
+          valueStarts(b) = cumBits / 8
+          b += 1
+        }
+        val w = is.read()
+        require(w >= 1 && w <= 8, s"bits[$f] = $w out of [1,8] — truncated or corrupt file")
+        cumBits += w.toLong * math.min(ReferenceFl.FrameLength.toLong,
+          inputSize - f * ReferenceFl.FrameLength)
+        f += 1
+      }
+      valueStarts(bounds.size) = valuesSize
+      require((cumBits + 7) / 8 == valuesSize,
+        s"bits array implies ${(cumBits + 7) / 8} payload bytes, header says $valuesSize")
+    } finally is.close()
+
+    val partsDir = s"$out.parts"
+    rmrf(Paths.get(partsDir))
+    Files.createDirectories(Paths.get(partsDir))
+
+    // executors: each task decodes its frame range independently (chunk
+    // independence, SURVEY.md §1.1) and writes its own raw part file
+    val tasks = bounds.zipWithIndex.map { case ((outStart, outEnd), idx) =>
+      (idx, startFrames(idx), valueStarts(idx), valueStarts(idx + 1), outEnd - outStart)
+    }
+    val headerBytes = ReferenceFl.HeaderBytes
+    val meta = spark.sparkContext
+      .parallelize(tasks, tasks.size)
+      .map { case (idx, frameStart, vStart, vEnd, outLen) =>
+        val frameCnt = ((outLen + ReferenceFl.FrameLength - 1) / ReferenceFl.FrameLength).toInt
+        val bits = readRange(in, headerBytes + frameStart, frameCnt.toLong, s"slice $idx bits")
+        val values = readRange(in, headerBytes + bitsSize + vStart, vEnd - vStart, s"slice $idx values")
+        val raw = ReferenceFl.decompress(ReferenceFl.FlCompressed(outLen, bits, values))
+        Files.write(Paths.get(f"$partsDir/raw-$idx%05d"), raw)
+        (idx, raw.length.toLong)
+      }
+      .collect()
+      .sortBy(_._1)
+
+    concatParts(out, Array.emptyByteArray,
+      meta.map(m => (Paths.get(f"$partsDir/raw-${m._1}%05d"), m._2)))
+    rmrf(Paths.get(partsDir))
+    val total = meta.map(_._2).sum
+    require(total == inputSize, s"decoded $total bytes, header says $inputSize")
+    total
+  }
+
+  private def header(inputSize: Long, bitsSize: Long, valuesSize: Long): Array[Byte] = {
+    val hdr = java.nio.ByteBuffer.allocate(ReferenceFl.HeaderBytes.toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.putLong(inputSize).putLong(bitsSize).putLong(valuesSize)
+    hdr.array()
+  }
+
+  /** Ordered stream-concat of part files into `out` after an optional
+    * header; driver memory bounded by the stream buffer. Each part's size
+    * is checked against the size its task reported — fail fast if they
+    * disagree (interleaved writes, zombie attempt). */
+  private def concatParts(out: String, header: Array[Byte], parts: Seq[(Path, Long)]): Unit = {
     val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(out), 1 << 20)
     try {
-      val hdr = java.nio.ByteBuffer.allocate(ReferenceFl.HeaderBytes.toInt)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      hdr.putLong(totalIn).putLong(totalBits).putLong(totalValues)
-      os.write(hdr.array())
-      for (kind <- Seq("bits", "values"); m <- meta) {
-        val part = Paths.get(f"$partsDir/$kind-${m._1}%05d")
-        val want = if (kind == "bits") m._3 else m._4
-        // header sizes come from task metadata; the payload from disk —
-        // fail fast if they disagree (interleaved writes, zombie attempt)
+      os.write(header)
+      parts.foreach { case (part, want) =>
         require(Files.size(part) == want,
           s"$part is ${Files.size(part)} bytes, task reported $want — corrupt part")
         Files.copy(part, os)
       }
     } finally os.close()
-    rmrf(Paths.get(partsDir))
-    ReferenceFl.HeaderBytes + totalBits + totalValues
   }
 
-  def decompress(in: String, out: String): Long = {
-    val c = ReferenceFl.fromFileBytes(Files.readAllBytes(Paths.get(in)))
-    val raw = ReferenceFl.decompress(c)
-    Files.write(Paths.get(out), raw)
-    raw.length.toLong
+  /** Read exactly `len` bytes at `start` of `path` (every task opens the
+    * shared file itself — the reference's every-rank-opens-the-file model,
+    * file_io.cu:28-71). */
+  private def readRange(path: String, start: Long, len: Long, what: String): Array[Byte] = {
+    require(len <= Int.MaxValue, s"$what is $len bytes; slicing must keep reads under 2 GiB")
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val b = new Array[Byte](len.toInt)
+      raf.seek(start)
+      raf.readFully(b)
+      b
+    } finally raf.close()
   }
 
   private def rmrf(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(rmrf(_))
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(rmrf(_)) finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 }

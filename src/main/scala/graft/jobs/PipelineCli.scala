@@ -14,7 +14,7 @@ import graft.sources.{TableIO, WebtextGen}
   *   verify <inParquet> <outDir>
   *   stats  <outDir>
   *   flfile c <inFile> <outFlFile> [slices]   (reference `compress c fl`)
-  *   flfile d <inFlFile> <outFile>            (reference `compress d fl`)
+  *   flfile d <inFlFile> <outFile> [slices]   (reference `compress d fl`)
   *
   * Master/memory come from spark-submit; standalone runs honor
   * SPARK_GRAFT_CPUS (default local[4]).
@@ -102,9 +102,12 @@ object PipelineCli {
         println(f"""{"op":"flfile-c","inBytes":$inBytes,"outBytes":$outBytes,"ratio":${outBytes.toDouble / math.max(1L, inBytes)}%.4f,"slices":$slices}""")
         spark.stop()
 
-      case "flfile" :: "d" :: in :: out :: Nil =>
-        val rawBytes = FlFileJob.decompress(in, out)
-        println(s"""{"op":"flfile-d","rawBytes":$rawBytes,"out":"$out"}""")
+      case "flfile" :: "d" :: in :: out :: rest =>
+        val spark = session("graft-flfile-d")
+        val slices = rest.headOption.map(_.toInt).getOrElse(32)
+        val rawBytes = FlFileJob.decompress(spark, in, out, slices)
+        println(s"""{"op":"flfile-d","rawBytes":$rawBytes,"out":"$out","slices":$slices}""")
+        spark.stop()
 
       case "stats" :: outDir :: Nil =>
         val spark = session("graft-stats")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 final case class DocRow(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 final case class MediaMeta(doc_id: Long, n_bytes: Long, fake_w: Long, fake_h: Long, n_frames: Long)
-final case class ColStatRow(column: String, codec: String, rawBytes: Long, encBytes: Long, flBaselineBytes: Long)
+final case class ColStatRow(col_name: String, codec: String, rawBytes: Long, encBytes: Long, flBaselineBytes: Long)
 
 /** Driver-facing operator queries over /root/testdata tables.
   *
@@ -238,9 +238,16 @@ object Queries {
       .orderBy($"cos_sim".desc, $"vec_id").limit(20)
   }
 
-  /** LSH bucketing for ANN: sign bits of the first 8 dimensions. */
+  /** How many leading dimensions feed the ANN sign-LSH bucket. 16 bits =
+    * 65k buckets: at web scale the bucket count must dwarf the executor
+    * count or every bucket is a skew hotspot (8 bits = 256 buckets was
+    * demo-coarse). The same width parameterizes the DuckDB oracle. */
+  val EmbedLshBits = 16
+
+  /** LSH bucketing for ANN: sign bits of the first [[EmbedLshBits]]
+    * dimensions of the embedding. */
   def qEmbedLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (1 to 8).map(i =>
+    val bucket = (1 to EmbedLshBits).map(i =>
       when(element_at($"embedding", i) > 0f, lit(1L << (i - 1))).otherwise(0L)).reduce(_ + _)
     t(spark, dir, "embeddings")
       .select(bucket.cast("bigint").as("bucket"), $"vec_id")
@@ -397,8 +404,24 @@ object Queries {
     * smallest label among itself and its neighbors; converges in
     * O(component diameter) rounds of one shuffle join each (the
     * large-star/small-star family — never materializes components as
-    * driver state; labels stay a distributed table). Output: one row per
-    * cluster with its size (keeper = cluster_id = min doc_id). */
+    * driver state; labels stay a distributed table).
+    *
+    * Scale/fault-tolerance story: each round's lineage is cut with a
+    * LAZY localCheckpoint (truncates the plan so the driver's analysis
+    * cost stays O(1) per round), and convergence is checked only every
+    * [[CcCheckEvery]] rounds — labels are monotone non-increasing, so
+    * "no change across k rounds" still certifies the fixpoint while
+    * HALVING the per-round driver round-trips and count jobs.
+    * localCheckpoint stores blocks on executors only: fast, but an
+    * executor loss mid-run kills the job. For long 100-TB runs set
+    * `spark.graft.cc.checkpointEvery=k` to promote every k-th round's cut
+    * to a RELIABLE checkpoint() (HDFS/object-store backed via the
+    * checkpoint dir) — executor loss then recomputes at most k-1 rounds
+    * from the last durable snapshot instead of aborting.
+    * Output: one row per cluster with its size (keeper = cluster_id =
+    * min doc_id). */
+  val CcCheckEvery = 2
+
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sh = docs.select($"doc_id", $"text",
@@ -419,12 +442,23 @@ object Queries {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
-    // localCheckpoint (not persist): iterative DataFrames otherwise double
-    // their plan tree every round and OOM the DRIVER on analysis
-    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint(true)
+    // lineage cut per round (not persist): iterative DataFrames otherwise
+    // double their plan tree every round and OOM the DRIVER on analysis.
+    // spark.graft.cc.checkpointEvery=k promotes every k-th cut to a
+    // reliable checkpoint() for fault tolerance on long runs.
+    val reliableEvery = spark.conf.getOption("spark.graft.cc.checkpointEvery")
+      .map(_.toInt).getOrElse(0)
+    if (reliableEvery > 0 && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    def cut(df: DataFrame, round: Int, eager: Boolean): DataFrame =
+      if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+
+    val edges = cut(pairs.union(pairs.select($"dst".as("src"), $"src".as("dst"))), 0, eager = true)
 
     var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    var lastChecked = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -433,18 +467,23 @@ object Queries {
         .select(col("e.dst").as("doc_id"), col("l.label"))
       val viaNeighbors = labels.union(prop).groupBy($"doc_id").agg(min($"label").as("label"))
       // pointer-jumping step (label := label of my label): halves label-
-      // chain lengths, so convergence is O(log diameter) rounds
-      // lazy checkpoint: the convergence count below materializes it, so
-      // each round costs ONE job, not a checkpoint job plus a count job
-      val next = viaNeighbors.as("a")
+      // chain lengths, so convergence is O(log diameter) rounds.
+      // lazy cut: the next convergence count materializes every cut since
+      // the last check in ONE job — no per-round checkpoint job
+      val next = cut(viaNeighbors.as("a")
         .join(viaNeighbors.as("b"), col("a.label") === col("b.doc_id"), "left")
         .select(col("a.doc_id"),
-          coalesce(least(col("a.label"), col("b.label")), col("a.label")).as("label"))
-        .localCheckpoint(false)
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).count()
+          coalesce(least(col("a.label"), col("b.label")), col("a.label")).as("label")),
+        rounds + 1, eager = false)
       labels = next
       rounds += 1
+      if (rounds % CcCheckEvery == 0 || rounds >= 50) {
+        // labels only ever decrease, so "unchanged since the snapshot k
+        // rounds ago" certifies a fixpoint for all intervening rounds
+        changed = labels.as("n").join(lastChecked.as("o"), "doc_id")
+          .filter(col("n.label") =!= col("o.label")).count()
+        lastChecked = labels
+      }
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
     labels.groupBy($"label".as("cluster_id")).agg(count(lit(1)).as("n_docs"))
@@ -514,22 +553,35 @@ object Queries {
         |FROM graft_sql_codec_docs""".stripMargin)
   }
 
-  /** Flagship: the engine itself applied to the documents table — per
-    * column, which codec the stats-driven selector picked and the realized
-    * sizes. Byte-level op, no SQL oracle (rows-only check). */
-  def qEncodeStats(spark: SparkSession, dir: String): DataFrame = {
+  /** Flagship detail: the engine itself applied to the documents table —
+    * per column, which codec(s) the stats-driven selector picked and the
+    * realized sizes. The kernel cuts blocks at the SAME row/byte caps the
+    * real encode pipeline uses (EncodeJob's 65k rows / 16 MB), so
+    * per-partition memory is bounded by the block caps, never by the
+    * partition size — shape-honest with the production path. */
+  def encodeStatsDetail(spark: SparkSession, dir: String): DataFrame = {
     import graft.codec.ColumnCodec
     import org.apache.spark.sql.Encoders
     val docs = t(spark, dir, "documents")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       .as[DocRow](Encoders.product[DocRow])
+    val maxRows = 65536
+    val targetBytes = 16L << 20
     docs.mapPartitions { it =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        def enc(name: String, e: ColumnCodec.Encoded) =
-          ColStatRow(name, e.codecName, e.rawBytes, e.bytes.length.toLong, e.flBaselineBytes)
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      def enc(name: String, e: ColumnCodec.Encoded) =
+        ColStatRow(name, e.codecName, e.rawBytes, e.bytes.length.toLong, e.flBaselineBytes)
+      def nextBlock(): Array[DocRow] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[DocRow]
+        var bytes = 0L
+        while (it.hasNext && buf.length < maxRows && bytes < targetBytes) {
+          val r = it.next()
+          buf += r
+          bytes += r.text.length.toLong + r.lang.length + r.source.length + 24
+        }
+        buf.toArray
+      }
+      Iterator.continually(nextBlock()).takeWhile(_.nonEmpty).flatMap { rows =>
         Iterator(
           enc("doc_id", ColumnCodec.encodeLongs(rows.map(_.doc_id))),
           enc("text", ColumnCodec.encodeBytes(rows.map(_.text.getBytes(utf8)))),
@@ -538,7 +590,7 @@ object Queries {
           enc("n_chars", ColumnCodec.encodeLongs(rows.map(_.n_chars))))
       }
     }(Encoders.product[ColStatRow]).toDF()
-      .groupBy($"column")
+      .groupBy($"col_name")
       .agg(
         concat_ws(",", sort_array(collect_set($"codec"))).as("codecs"),
         sum($"rawBytes").as("raw_bytes"),
@@ -546,6 +598,19 @@ object Queries {
         sum($"flBaselineBytes").as("fl_baseline_bytes"),
         round(sum($"encBytes") / sum($"rawBytes"), 4).as("ratio"))
   }
+
+  /** Flagship, oracle-checked projection: per-column exact raw bytes
+    * (partition-independent, SQL-expressible: payload bytes + 8/row of
+    * offsets for string columns, 8/row for longs) plus the north-rule
+    * bound `sum(encBytes) <= sum(flBaselineBytes)` as a bound_ok flag the
+    * DuckDB oracle pins to 1 — the hash compare ASSERTS the structural
+    * size guarantee. Codec names / encoded sizes are engine-specific and
+    * live in [[encodeStatsDetail]]. */
+  def qEncodeStats(spark: SparkSession, dir: String): DataFrame =
+    encodeStatsDetail(spark, dir).select(
+      $"col_name",
+      $"raw_bytes",
+      ($"enc_bytes" <= $"fl_baseline_bytes").cast("bigint").as("bound_ok"))
 
   // Spark Column implicits
   private implicit class Str(val sc: StringContext) {

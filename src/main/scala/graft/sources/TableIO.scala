@@ -23,6 +23,7 @@ object TableIO {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format(format(spark)).load(path)
 
-  def write(df: DataFrame, path: String, mode: SaveMode): Unit =
-    df.write.format(format(df.sparkSession)).mode(mode).save(path)
+  def write(df: DataFrame, path: String, mode: SaveMode,
+            options: Map[String, String] = Map.empty): Unit =
+    df.write.format(format(df.sparkSession)).options(options).mode(mode).save(path)
 }

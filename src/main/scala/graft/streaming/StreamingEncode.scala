@@ -5,6 +5,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.jobs.EncodeJob
 import graft.model.Page
+import graft.sources.TableIO
 
 /** Structured-Streaming front end for the encoder: page files appearing
   * under `inDir` are encoded micro-batch by micro-batch into the SAME
@@ -16,23 +17,31 @@ import graft.model.Page
   * WARC drops keep arriving". Design points:
   *
   *  - pid assignment stays consistent across micro-batches because the
-  *    url-range bounds are pinned in bounds.json by the first batch and
-  *    reloaded by every later one (the same mechanism batch resume uses);
-  *  - each micro-batch appends its own chunks and manifest rows with its
-  *    own attemptId — per-micro-batch lineage, so `stats` shows which
-  *    batch produced which blocks;
+  *    url-range bounds are pinned in bounds.json and reloaded by every
+  *    later batch (the same mechanism batch resume uses). Pinning is
+  *    GUARDED by a minimum sample size (boundsPinMinRows): a tiny first
+  *    micro-batch must not freeze unrepresentative bounds forever, so
+  *    small batches use their locally-computed bounds without pinning and
+  *    the first adequately-sized batch pins. Chunks are self-contained
+  *    (DecodeJob reads them all regardless of pid), so pre-pin batches
+  *    having their own pid geometry is correctness-neutral;
+  *  - each micro-batch appends its own chunks and manifest rows with the
+  *    DETERMINISTIC attemptId "batch-<batchId>" — per-micro-batch lineage,
+  *    so `stats` shows which batch produced which blocks;
   *  - `resume = false` inside foreachBatch: completed-pid skipping is a
   *    batch-resume concept; a stream legitimately appends NEW blocks to
-  *    already-seen pids (chunks are self-contained, DecodeJob reads them
-  *    all regardless of which batch wrote them);
-  *  - end-to-end replay safety comes from the checkpoint: the file source
-  *    tracks consumed input files, so a restarted query re-processes only
-  *    unconsumed files. A crash INSIDE a micro-batch can leave that
-  *    batch's chunks committed while the checkpoint offset is not — a
-  *    restart would then re-encode that batch (duplicate blocks). The
-  *    manifest's (attemptId, pid) lineage makes such duplicates visible;
-  *    deduplication-on-read is the standard foreachBatch caveat and is
-  *    documented rather than hidden.
+  *    already-seen pids;
+  *  - replay safety (the standard foreachBatch exactly-once pattern): a
+  *    crash between a micro-batch's manifest commit and the streaming
+  *    checkpoint offset commit makes the source re-deliver that batch on
+  *    restart — foreachBatch then finds its "batch-<id>" attemptId
+  *    already in the manifest and SKIPS it, so no duplicate blocks are
+  *    appended. The residual window is a crash between the chunk write
+  *    and the manifest write *inside* one batch (chunks committed,
+  *    manifest row not): a replay then re-appends that batch's chunks.
+  *    That window is the duration of one O(#pids) manifest write rather
+  *    than the whole batch, and the lineage makes it auditable (chunk
+  *    blocks without a matching manifest attempt).
   */
 object StreamingEncode {
 
@@ -43,6 +52,11 @@ object StreamingEncode {
             cfg: EncodeJob.Config = EncodeJob.Config(),
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val pageSchema = Encoders.product[Page].schema
+    // default pin guard: a batch must sample at least ~16 rows/partition
+    // before its bounds are frozen for all later batches
+    val effCfg =
+      if (cfg.boundsPinMinRows > 0L) cfg
+      else cfg.copy(boundsPinMinRows = 16L * cfg.numPartitions)
     spark.readStream
       .schema(pageSchema)
       .parquet(inDir)
@@ -50,13 +64,26 @@ object StreamingEncode {
       .trigger(trigger)
       .option("checkpointLocation", s"$outDir/_stream_checkpoint")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val pages = batch.as[Page](Encoders.product[Page])
-        val r = EncodeJob.run(spark, pages, outDir, cfg.copy(resume = false))
-        // scalastyle:off println — operational one-liner, mirrors PipelineCli
-        // Result aggregates the WHOLE manifest dir, which accumulates one
-        // row set per micro-batch — label these as running totals
-        println(s"""{"op":"stream-encode","batchId":$batchId,"rowsTotal":${r.rows},""" +
-          s""""encBytesTotal":${r.encBytes},"manifestRowsTotal":${r.pidsEncoded}}""")
+        val tag = s"batch-$batchId"
+        val replayed =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.manifestDir(outDir))) &&
+            !TableIO.read(spark, EncodeJob.manifestDir(outDir))
+              .filter(org.apache.spark.sql.functions.col("attemptId") === tag)
+              .isEmpty
+        // scalastyle:off println — operational one-liners, mirror PipelineCli
+        if (replayed) {
+          // this batch already committed its manifest in a previous run of
+          // the query (crash before the checkpoint offset commit) — skip
+          println(s"""{"op":"stream-encode","batchId":$batchId,"skipped":"already in manifest"}""")
+        } else {
+          val pages = batch.as[Page](Encoders.product[Page])
+          val r = EncodeJob.run(spark, pages, outDir,
+            effCfg.copy(resume = false, attemptId = Some(tag)))
+          // Result aggregates the WHOLE manifest dir, which accumulates one
+          // row set per micro-batch — label these as running totals
+          println(s"""{"op":"stream-encode","batchId":$batchId,"rowsTotal":${r.rows},""" +
+            s""""encBytesTotal":${r.encBytes},"manifestRowsTotal":${r.pidsEncoded}}""")
+        }
         ()
       }
       .start()

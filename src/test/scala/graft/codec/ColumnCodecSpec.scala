@@ -64,6 +64,29 @@ class ColumnCodecSpec extends AnyFunSuite with GenDriven {
     }
   }
 
+  test("decodeBytesView is value-identical to decodeBytes across all forms") {
+    forAll(bytesCols) { values =>
+      val enc = ColumnCodec.encodeBytes(values)
+      val arrays = ColumnCodec.decodeBytes(enc.bytes)
+      val view = ColumnCodec.decodeBytesView(enc.bytes)
+      assert(view.n == values.length)
+      values.indices.foreach { i =>
+        if (values(i) == null) {
+          assert(view.isNull(i) && view.copyAt(i) == null && view.stringAt(i) == null)
+        } else {
+          assert(!view.isNull(i))
+          assert(view.copyAt(i).toSeq == arrays(i).toSeq, s"row $i codec=${enc.codecName}")
+          assert(view.stringAt(i) == new String(arrays(i), "UTF-8"))
+        }
+      }
+    }
+    // forced flOnly form too (the property gen rarely picks it)
+    val vals = Array.tabulate(300)(i => s"row-$i".getBytes("UTF-8"))
+    val fl = ColumnCodec.encodeBytes(vals, flOnly = true)
+    val v = ColumnCodec.decodeBytesView(fl.bytes)
+    vals.indices.foreach(i => assert(v.copyAt(i).toSeq == vals(i).toSeq))
+  }
+
   test("north-rule bound: encoded block <= reference FL file on same bytes") {
     forAll(bytesCols) { values =>
       val enc = ColumnCodec.encodeBytes(values)

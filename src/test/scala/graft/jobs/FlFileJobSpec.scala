@@ -30,12 +30,40 @@ class FlFileJobSpec extends AnyFunSuite with SparkFixture {
     assert(fileBytes.sameElements(single), "distributed != single-node encode")
     assert(fileBytes.length.toLong == ReferenceFl.fileSizeOf(data))
 
-    val rawBytes = FlFileJob.decompress(s"$dir/out.fl", s"$dir/back.bin")
+    val rawBytes = FlFileJob.decompress(spark, s"$dir/out.fl", s"$dir/back.bin", slices = 5)
     assert(rawBytes == data.length.toLong)
     assert(Files.readAllBytes(Paths.get(s"$dir/back.bin")).sameElements(data))
     // distributed parts are stream-concatenated then removed — no payload
     // bytes are gathered to the driver and no temp files linger
     assert(!Files.exists(Paths.get(s"$dir/out.fl.parts")))
+    assert(!Files.exists(Paths.get(s"$dir/back.bin.parts")))
+  }
+
+  test("distributed decompress slices independently of compress slicing") {
+    val dir = tmpDir("graft-flfile-d")
+    val rnd = new scala.util.Random(7)
+    // width variety across frames + a partial final frame, so slice
+    // boundaries land at frames with different cumulative bit offsets
+    val data = Array.tabulate(64 * 128 + 91) { i =>
+      val w = 1 + (i / 128) % 8
+      (rnd.nextInt(1 << w)).toByte
+    }
+    Files.write(Paths.get(s"$dir/in.bin"), data)
+    val single = ReferenceFl.toFileBytes(ReferenceFl.compress(data))
+    Files.write(Paths.get(s"$dir/in.fl"), single)
+    // decompress at several slice counts (all different from any compress
+    // slicing) — each must reproduce the input bit-identically
+    for (slices <- Seq(1, 3, 9, 32)) {
+      val n = FlFileJob.decompress(spark, s"$dir/in.fl", s"$dir/back-$slices.bin", slices)
+      assert(n == data.length.toLong)
+      assert(Files.readAllBytes(Paths.get(s"$dir/back-$slices.bin")).sameElements(data),
+        s"mismatch at slices=$slices")
+    }
+    // empty file round-trip
+    Files.write(Paths.get(s"$dir/empty.bin"), Array.emptyByteArray)
+    FlFileJob.compress(spark, s"$dir/empty.bin", s"$dir/empty.fl", 4)
+    assert(FlFileJob.decompress(spark, s"$dir/empty.fl", s"$dir/empty-back.bin", 4) == 0L)
+    assert(Files.size(Paths.get(s"$dir/empty-back.bin")) == 0L)
   }
 
   test("slice count auto-raises so no slice exceeds 2 GiB (reference int-overflow guard)") {

@@ -56,5 +56,61 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
 
     // bounds were pinned by batch 1 and reused by batch 2
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.boundsPath(outDir))))
+
+    // --- replay safety (the foreachBatch exactly-once pattern): wipe the
+    // streaming checkpoint so a restarted query RE-DELIVERS everything
+    // under fresh batchIds; the deterministic "batch-<id>" attemptIds are
+    // already in the manifest, so every replayed batch must be skipped —
+    // no duplicate blocks, decode count unchanged
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rmrf(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmrf(java.nio.file.Paths.get(s"$outDir/_stream_checkpoint"))
+    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+    assert(DecodeJob.run(spark, outDir).count() == 600L, "replayed batch appended duplicates")
+    assert(spark.read.parquet(EncodeJob.manifestDir(outDir))
+      .select($"attemptId").distinct().count() == 2L)
+  }
+
+  test("tiny first micro-batch does not pin bounds; first adequate batch does, balanced") {
+    import spark.implicits._
+    val inDir = tmpDir("graft-stream-tiny-in")
+    val outDir = tmpDir("graft-stream-tiny-out")
+    val cfg = EncodeJob.Config(numPartitions = 4) // streaming pin guard: 16*4 = 64 rows
+
+    val all = WebtextGen.pages(spark, 2010L, partitions = 2).collect()
+    val (tiny, big) = all.splitAt(10)
+
+    def drop(pages: Seq[Page], name: String): Unit = {
+      val stage = tmpDir("graft-stream-tiny-stage")
+      spark.createDataset(pages).coalesce(1).write.parquet(s"$stage/out")
+      val part = new java.io.File(s"$stage/out").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+
+    // 10-row first batch: encoded, but bounds NOT frozen
+    drop(tiny.toSeq, "drop1")
+    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.boundsPath(outDir))),
+      "a 10-row micro-batch pinned bounds")
+
+    // 2000-row second batch: pins representative bounds, pids balanced
+    drop(big.toSeq, "drop2")
+    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.boundsPath(outDir))))
+    val batch1 = spark.read.parquet(EncodeJob.manifestDir(outDir))
+      .filter($"attemptId" === "batch-1")
+      .select($"pid", $"rows").as[(Int, Long)].collect()
+    assert(batch1.map(_._2).sum == 2000L)
+    val mean = 2000.0 / batch1.length
+    assert(batch1.map(_._2).max <= 3 * mean,
+      s"pids unbalanced after pin: ${batch1.mkString(",")}")
+
+    assert(DecodeJob.run(spark, outDir).count() == 2010L)
   }
 }
