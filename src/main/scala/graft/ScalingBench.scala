@@ -50,8 +50,9 @@ object ScalingBench {
       hwCeiling: Double,    // pure-CPU (T8/T32)/4 on this box
       flOnly: LevelResult,  // reference-equivalent FL-only mode at local[32]
       flOnlyEncBytes: Long,
-      decodeSec: Double,
+      decodeSec: Double,     // steady-state: best of 2 after a warm pass
       decodeGbps: Double,
+      decodeColdSec: Double, // first pass in the fresh session (JIT cold)
       verifyOk: Boolean) {
     def ratio: Double = encBytes.toDouble / math.max(1L, rawBytes)
     def ratioVsFl: Double = encBytes.toDouble / math.max(1L, flBaselineBytes)
@@ -196,22 +197,32 @@ object ScalingBench {
     val ceiling = hardwareCeiling()
     println(f"[scaling] hardware ceiling (T8/T32)/4 = $ceiling%.3f")
 
-    // -------- decode throughput + round-trip verification at local[32]
-    val (decodeSec, decodeGbps, verifyOk) = locally {
+    // -------- decode throughput + round-trip verification at local[32].
+    // The first pass in a fresh session is dominated by scan-path JIT and
+    // session spin-up (round 2 reported THAT as the decode number — 9x
+    // below steady state); report it as "cold" and time steady state as
+    // best-of-2 after the warm pass, mirroring how encode levels warm up.
+    val (decodeColdSec, decodeSec, decodeGbps, verifyOk) = locally {
       val s = session(32, parts)
       import s.implicits._
       val outDir = s"$work/enc_32"
-      val t0 = System.nanoTime()
+      val tc = System.nanoTime()
       DecodeJob.run(s, outDir).count()
-      val dSec = (System.nanoTime() - t0) / 1e9
+      val coldSec = (System.nanoTime() - tc) / 1e9
+      val dSec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        DecodeJob.run(s, outDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       val source = s.read.parquet(pagesPath).as[Page]
       val report = VerifyJob.run(s, source, DecodeJob.run(s, outDir))
       s.stop()
-      (dSec, rawB / 1e9 / dSec, report.ok)
+      (coldSec, dSec, rawB / 1e9 / dSec, report.ok)
     }
 
     ScalingResult(nDocs, rawB, encB, flB,
-      lvl, effPrimary, effSecondary, ceiling, flLvl, flEncB, decodeSec, decodeGbps, verifyOk)
+      lvl, effPrimary, effSecondary, ceiling, flLvl, flEncB,
+      decodeSec, decodeGbps, decodeColdSec, verifyOk)
   }
 
   def renderMarkdown(r: ScalingResult): String = {
@@ -226,7 +237,9 @@ object ScalingBench {
     sb.append(f"- input: ${r.nDocs}%,d docs, ${r.rawBytes / 1e6}%.1f MB raw column bytes\n")
     sb.append(f"- compressed: ${r.encBytes / 1e6}%.1f MB, ratio ${r.ratio}%.4f of raw, ")
     sb.append(f"${r.ratioVsFl}%.4f of the reference-FL baseline (bound: <= 1.0)\n")
-    sb.append(f"- decode (local[32]): ${r.decodeSec}%.2f s, ${r.decodeGbps}%.3f GB/s raw-equivalent\n")
+    sb.append(f"- decode (local[32]): ${r.decodeSec}%.2f s steady-state (best-of-2 after a\n")
+    sb.append(f"  warm pass), ${r.decodeGbps}%.3f GB/s raw-equivalent; first cold pass in the\n")
+    sb.append(f"  fresh session: ${r.decodeColdSec}%.2f s (scan-path JIT + session spin-up)\n")
     sb.append(f"- FL-only mode (reference-equivalent work, local[32]): ${r.flOnly.gbps}%.3f GB/s at ")
     sb.append(f"ratio ${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f; the full selector's output is ")
     sb.append(f"${(1 - r.encBytes.toDouble / r.flOnlyEncBytes) * 100}%.0f%% smaller")
@@ -260,7 +273,7 @@ object ScalingBench {
     // lines, so when it was measured must be visible, not implied
     val stamp = java.time.Instant.now().toString
     val runId = java.util.UUID.randomUUID().toString.take(8)
-    f"""{"generatedAtIso":"$stamp","runId":"$runId","nDocs":${r.nDocs},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.ratio}%.4f,"ratioVsFl":${r.ratioVsFl}%.4f,"levels":$levels,"scalingEfficiency":${r.effPrimary}%.3f,"scalingEfficiency8to32":${r.effSecondary}%.3f,"hardwareCeiling8to32":${r.hwCeiling}%.3f,"flOnlyGbps":${r.flOnly.gbps}%.4f,"flOnlyRatio":${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f,"decodeGbps":${r.decodeGbps}%.4f,"verifyOk":${r.verifyOk}}"""
+    f"""{"generatedAtIso":"$stamp","runId":"$runId","nDocs":${r.nDocs},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.ratio}%.4f,"ratioVsFl":${r.ratioVsFl}%.4f,"levels":$levels,"scalingEfficiency":${r.effPrimary}%.3f,"scalingEfficiency8to32":${r.effSecondary}%.3f,"hardwareCeiling8to32":${r.hwCeiling}%.3f,"flOnlyGbps":${r.flOnly.gbps}%.4f,"flOnlyRatio":${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f,"decodeGbps":${r.decodeGbps}%.4f,"decodeColdSec":${r.decodeColdSec}%.3f,"verifyOk":${r.verifyOk}}"""
   }
 
   def main(args: Array[String]): Unit = {

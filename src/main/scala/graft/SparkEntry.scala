@@ -56,6 +56,10 @@ object SparkEntry {
     "q_mm_decode" -> (qMmDecode(_, _)),
     "q_rollup_sets" -> (qRollupSets(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
+    "q_sample_stratified" -> (qSampleStratified(_, _)),
+    "q_vocab_topk" -> (qVocabTopk(_, _)),
+    "q_seq_pack" -> (qSeqPack(_, _)),
+    "q_contamination" -> (qContamination(_, _)),
     // SQL-registered codec surface (Table B UDF/UDAF row)
     "q_sql_codec" -> (qSqlCodec(_, _)))
 
@@ -351,6 +355,39 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(1 AS BIGINT) AS fl_ok, CAST(1 AS BIGINT) AS rle_ok
         |FROM documents""".stripMargin,
+    // same md5-nibble hash on both engines (shift arithmetic, not 16**k —
+    // exact in integers), so the sampled set is identical by construction
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         list_sum(list_transform(range(1, 5), i ->
+        |           CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (4 - i)))) % 100 AS h
+        |  FROM documents)
+        |WHERE h < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT tk, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+        |WHERE length(tk) > 0
+        |GROUP BY tk ORDER BY cnt DESC, tk LIMIT 100""".stripMargin,
+    "q_seq_pack" ->
+      """WITH x AS (
+        |  SELECT source, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS start_off
+        |  FROM documents)
+        |SELECT source, CAST(floor(start_off / 16384) AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM x GROUP BY source, bin""".stripMargin,
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 8) AS s
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
+        |        FROM documents)),
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+        |c AS (SELECT sh.doc_id, sh.s, b.bench_id FROM sh JOIN b USING (s) WHERE sh.doc_id >= 20)
+        |SELECT doc_id, count(DISTINCT s) AS n_shared, min(bench_id) AS first_hit
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH b AS (
         |  SELECT user_id, event_id, ts, value,

@@ -489,6 +489,65 @@ object Queries {
     labels.groupBy($"label".as("cluster_id")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Deterministic stratified sampling: per-lang sampling rates applied
+    * via a content hash of the key (md5 nibbles, reproducible across
+    * engines and runs — the property a training-data pipeline needs so a
+    * re-run selects the SAME sample). Narrow projection + filter: no
+    * shuffle, embarrassingly parallel at any scale. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("bigint") % 100
+    val rate = when($"lang" === "en", 50).when($"lang" === "de", 20).otherwise(10)
+    t(spark, dir, "documents")
+      .filter(h < rate)
+      .select($"doc_id", $"lang")
+  }
+
+  /** Vocabulary building: global token frequency top-k — the first step
+    * of tokenizer training. Partial aggregation makes the token groupBy
+    * one shuffle; the top-k is a driver-side 100-row limit. */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split($"text", " ", -1)).as("tk"))
+      .filter(length($"tk") > 0)
+      .groupBy($"tk").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tk").limit(100)
+
+  /** Sequence packing: greedy char-budget bins per source — the "pack
+    * short documents into fixed-size training sequences" op. The running
+    * sum is a window PARTITIONED by source (scales: no global order);
+    * bin = the budget bucket the document's START offset falls in. */
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 16384L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(spark, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars",
+        (sum($"n_chars").over(w) - $"n_chars").as("start_off"))
+      .withColumn("bin", floor($"start_off" / budget).cast("bigint"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any 8-gram
+    * shingle with a (small) benchmark set — the eval-leak check every
+    * training pipeline runs. The benchmark shingle set is tiny by
+    * construction, so the join BROADCASTS it and the corpus side streams
+    * map-side: at 100 TB this is one scan, zero shuffle of the corpus. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sh = docs.select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
+      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
+      .distinct()
+    val bench = sh.filter($"doc_id" < 20)
+      .select($"doc_id".as("bench_id"), $"s")
+    sh.filter($"doc_id" >= 20)
+      .join(broadcast(bench), "s")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"s").as("n_shared"), min($"bench_id").as("first_hit"))
+  }
+
   /** JSON functions: serialize per-row metadata to JSON and extract it
     * back (each engine builds its own JSON, so only the extracted values
     * — identical across engines — are compared). The shape of a sidecar
