@@ -60,6 +60,7 @@ object SparkEntry {
     "q_vocab_topk" -> (qVocabTopk(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
     "q_contamination" -> (qContamination(_, _)),
+    "q_engine_roundtrip" -> (qEngineRoundtrip(_, _)),
     // SQL-registered codec surface (Table B UDF/UDAF row)
     "q_sql_codec" -> (qSqlCodec(_, _)))
 
@@ -354,6 +355,12 @@ object SparkEntry {
     "q_sql_codec" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(1 AS BIGINT) AS fl_ok, CAST(1 AS BIGINT) AS rle_ok
+        |FROM documents""".stripMargin,
+    // recomputed straight from the source table: a hash match proves the
+    // engine's encode->disk->projected-decode round-trip byte-identically
+    "q_engine_roundtrip" ->
+      """SELECT printf('https://doc.example/%09d', doc_id) AS url,
+        |       md5(text) AS text_md5, lang
         |FROM documents""".stripMargin,
     // same md5-nibble hash on both engines (shift arithmetic, not 16**k —
     // exact in integers), so the sampled set is identical by construction

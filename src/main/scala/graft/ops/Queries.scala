@@ -548,6 +548,32 @@ object Queries {
       .agg(countDistinct($"s").as("n_shared"), min($"bench_id").as("first_hit"))
   }
 
+  /** The ENGINE ITSELF under the driver's oracle: documents mapped to the
+    * Page shape, encoded through the full pipeline (bounds sample, pid
+    * shuffle, codec selector, chunk+manifest write), then decoded via the
+    * PROJECTED columnar path (url/text/lang blocks only — html blocks are
+    * never read). The oracle recomputes url/text-md5/lang straight from
+    * the source table, so the hash compare asserts byte-identical
+    * round-trip of every row through encode->disk->projected decode —
+    * the north_rule invariant, checked by DuckDB instead of our own
+    * tests. */
+  def qEngineRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.jobs.{DecodeJob, EncodeJob}
+    import graft.model.Page
+    val pages = t(spark, dir, "documents").select(
+        format_string("https://doc.example/%09d", $"doc_id").as("url"),
+        timestamp_seconds(lit(1700000000L) + $"doc_id").as("warc_ts"),
+        $"text".cast("binary").as("html"),
+        $"text",
+        $"lang")
+      .as[Page](Encoders.product[Page])
+    val out = java.nio.file.Files.createTempDirectory("graft-engine-rt").toString
+    EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
+    DecodeJob.runProjected(spark, out, Seq("url", "text", "lang"))
+      .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")
+  }
+
   /** JSON functions: serialize per-row metadata to JSON and extract it
     * back (each engine builds its own JSON, so only the extracted values
     * — identical across engines — are compared). The shape of a sidecar
