@@ -536,12 +536,16 @@ object Queries {
     * map-side: at 100 TB this is one scan, zero shuffle of the corpus. */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // corpus shingles are NOT dedup'd up front: countDistinct in the final
+    // agg already collapses duplicates, and a corpus-wide distinct would
+    // shuffle every shingle of the 100-TB side before the join. Only the
+    // tiny benchmark side dedups (it gets broadcast).
     val sh = docs.select($"doc_id", $"text",
         explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
       .select($"doc_id", expr("substring(text, i, 8)").as("s"))
-      .distinct()
     val bench = sh.filter($"doc_id" < 20)
       .select($"doc_id".as("bench_id"), $"s")
+      .distinct()
     sh.filter($"doc_id" >= 20)
       .join(broadcast(bench), "s")
       .groupBy($"doc_id")
