@@ -253,9 +253,16 @@ object EncodeJob {
     // WITHOUT the extra sampling pass a repartitionByRange would run over
     // the whole input. Two pids hashing to one task is fine: the kernel
     // cuts chunks at pid boundaries, so output is identical either way.
+    // The content-hash tiebreaker makes the sort a TOTAL order even when
+    // the same url appears twice (a re-crawl with different content):
+    // equal-key rows would otherwise keep nondeterministic relative order
+    // across task attempts, so speculative twin attempts could cut chunks
+    // differently and the manifest twin-agreement assert would fire on a
+    // benign reorder. With the tiebreaker, every attempt encodes
+    // byte-identical chunks regardless of upstream row order.
     val chunks = withPid
       .repartition(cfg.numPartitions, $"pid")
-      .sortWithinPartitions($"pid", $"url")
+      .sortWithinPartitions($"pid", $"url", xxhash64($"warc_ts", $"text", $"html"))
       .as[PidPage]
       .mapPartitions { it =>
         summarizing(encodePartition(it, targetBytes, maxRows, flOnly), summaryAcc)

@@ -448,9 +448,18 @@ object Queries {
     // reliable checkpoint() for fault tolerance on long runs.
     val reliableEvery = spark.conf.getOption("spark.graft.cc.checkpointEvery")
       .map(_.toInt).getOrElse(0)
-    if (reliableEvery > 0 && spark.sparkContext.getCheckpointDir.isEmpty)
+    if (reliableEvery > 0 && spark.sparkContext.getCheckpointDir.isEmpty) {
+      // a driver-local temp dir is only a valid checkpoint target in local
+      // mode; on a cluster executors would scatter checkpoint blocks over
+      // their own local disks (unreadable cross-node, lost on executor
+      // loss — defeating the feature). Fail fast instead of silently
+      // degrading durability.
+      require(spark.sparkContext.isLocal,
+        "spark.graft.cc.checkpointEvery is set but no checkpoint dir is configured: " +
+          "call sparkContext.setCheckpointDir(<cluster-visible path, e.g. HDFS/S3>) first")
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    }
     def cut(df: DataFrame, round: Int, eager: Boolean): DataFrame =
       if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint(eager)
       else df.localCheckpoint(eager)
@@ -572,7 +581,19 @@ object Queries {
         $"text",
         $"lang")
       .as[Page](Encoders.product[Page])
-    val out = java.nio.file.Files.createTempDirectory("graft-engine-rt").toString
+    // one deterministic scratch dir per input dir, wiped before each
+    // encode: repeated invocations (bench reps, repeated oracle runs)
+    // reuse it instead of leaking one encoded table copy per call
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-engine-rt-${Integer.toHexString(dir.hashCode)}").toString
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rmrf(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmrf(java.nio.file.Paths.get(out))
     EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
     DecodeJob.runProjected(spark, out, Seq("url", "text", "lang"))
       .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")

@@ -57,6 +57,24 @@ object StreamingEncode {
     val effCfg =
       if (cfg.boundsPinMinRows > 0L) cfg
       else cfg.copy(boundsPinMinRows = 16L * cfg.numPartitions)
+    // Refuse to start if the streaming checkpoint is GONE while the
+    // manifest already carries batch lineage: a fresh checkpoint renumbers
+    // batches from 0, so the replay-skip below would match old "batch-N"
+    // manifest rows against NEW data and silently never encode it. (The
+    // legitimate replay case — crash before the offset commit — keeps the
+    // checkpoint dir and is handled by the skip.)
+    val ckptExists =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/_stream_checkpoint"))
+    if (!ckptExists &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.manifestDir(outDir)))) {
+      val hasBatchLineage = !TableIO.read(spark, EncodeJob.manifestDir(outDir))
+        .filter(org.apache.spark.sql.functions.col("attemptId").startsWith("batch-"))
+        .isEmpty
+      require(!hasBatchLineage,
+        s"$outDir has batch-tagged manifest rows but no streaming checkpoint: batch ids " +
+          "would renumber from 0 and new data could be silently skipped as replays. " +
+          "Restore the checkpoint or encode into a fresh output dir.")
+    }
     spark.readStream
       .schema(pageSchema)
       .parquet(inDir)

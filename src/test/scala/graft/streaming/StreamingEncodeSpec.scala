@@ -57,11 +57,28 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     // bounds were pinned by batch 1 and reused by batch 2
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.boundsPath(outDir))))
 
-    // --- replay safety (the foreachBatch exactly-once pattern): wipe the
-    // streaming checkpoint so a restarted query RE-DELIVERS everything
-    // under fresh batchIds; the deterministic "batch-<id>" attemptIds are
-    // already in the manifest, so every replayed batch must be skipped —
-    // no duplicate blocks, decode count unchanged
+    // --- replay safety (the foreachBatch exactly-once pattern): simulate
+    // the exact crash window — the batch's manifest committed but the
+    // streaming offset commit not — by deleting the newest commit marker.
+    // The restarted query re-delivers that batch under the SAME batchId;
+    // its "batch-<id>" attemptId is already in the manifest, so it must be
+    // skipped: no duplicate blocks, decode count unchanged.
+    val commits = new java.io.File(s"$outDir/_stream_checkpoint/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    java.nio.file.Files.delete(commits.last.toPath)
+    // also drop the local-FS checksum sidecar, else the re-written commit
+    // fails the rename as if another query owned the log
+    java.nio.file.Files.deleteIfExists(
+      commits.last.toPath.resolveSibling(s".${commits.last.getName}.crc"))
+    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+    assert(DecodeJob.run(spark, outDir).count() == 600L, "replayed batch appended duplicates")
+    assert(spark.read.parquet(EncodeJob.manifestDir(outDir))
+      .select($"attemptId").distinct().count() == 2L)
+
+    // --- whole-checkpoint LOSS is a different failure: batch ids would
+    // renumber from 0 and new data could be skipped as replays — the
+    // stream must refuse to start, not silently drop data
     def rmrf(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
         val s = java.nio.file.Files.list(p)
@@ -70,10 +87,10 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
       java.nio.file.Files.deleteIfExists(p)
     }
     rmrf(java.nio.file.Paths.get(s"$outDir/_stream_checkpoint"))
-    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
-    assert(DecodeJob.run(spark, outDir).count() == 600L, "replayed batch appended duplicates")
-    assert(spark.read.parquet(EncodeJob.manifestDir(outDir))
-      .select($"attemptId").distinct().count() == 2L)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingEncode.start(spark, inDir, outDir, cfg)
+    }
+    assert(ex.getMessage.contains("no streaming checkpoint"))
   }
 
   test("tiny first micro-batch does not pin bounds; first adequate batch does, balanced") {
