@@ -119,6 +119,35 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
       Option(ex.getCause).exists(_.toString.contains("CRC")), ex.toString)
   }
 
+  test("manifest url ranges merge in UTF-8 order (supplementary-plane urls)") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-utf8")
+    val ts = new java.sql.Timestamp(1700000000000L)
+    // U+E000 (3-byte UTF-8, HIGH UTF-16 code unit) vs U+10000 (4-byte
+    // UTF-8, LOW UTF-16 surrogates): UTF-16 order says the E000 url is
+    // the max, UTF-8 binary order says the supplementary url is — the
+    // same disagreement that bit the decode range filter in round 1
+    val uE000 = "https://x/\uE000zz"
+    val uSupp = "https://x/" + new String(Character.toChars(0x10000)) + "aa"
+    val pages = Seq(
+      graft.model.Page("https://x/aaa", ts, Array[Byte](1), "t1", "en"),
+      graft.model.Page(uE000, ts, Array[Byte](2), "t2", "en"),
+      graft.model.Page(uSupp, ts, Array[Byte](3), "t3", "en"))
+    assert(uE000 > uSupp, "UTF-16 order (sanity: the two orders must disagree)")
+    // maxBlockRows=2 forces multiple chunks in one pid, so the manifest
+    // min/max comes from the cross-chunk MERGE, not a single chunk
+    EncodeJob.run(spark, spark.createDataset(pages), outDir,
+      EncodeJob.Config(numPartitions = 1, maxBlockRows = 2))
+    val m = spark.read.parquet(EncodeJob.manifestDir(outDir))
+      .select($"urlMin", $"urlMax").as[(String, String)].head()
+    assert(m._1 == "https://x/aaa")
+    assert(m._2 == uSupp, s"manifest urlMax '${m._2}' is the UTF-16 max, not the UTF-8 max")
+    // and a url-range decode over just the supplementary url returns it
+    val hit = DecodeJob.runProjected(spark, outDir, Seq("url"), Some((uSupp, uSupp)))
+      .as[String].collect().toSeq
+    assert(hit == Seq(uSupp))
+  }
+
   test("per-column codec choices are data-appropriate") {
     import spark.implicits._
     val outDir = tmpDir("graft-codecsel")
