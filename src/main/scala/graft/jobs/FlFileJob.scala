@@ -31,17 +31,18 @@ import graft.codec.ReferenceFl
   * distributed decompress at all (main.cu:131-169: `fl` -> GPU else CPU,
   * no MPI variant) — but its own device path already contains the key
   * idea: an exclusive prefix scan over `bits[f]*128` yields every frame's
-  * bit offset (fl_gpu.cu:595-601). Here the driver streams the tiny
-  * `bits` array ONCE (1 byte per 128 input bytes; never materialized)
-  * and records the cumulative payload byte offset at each slice boundary
-  * — exact, because every full frame's payload is `bits_f*16` bytes,
-  * always byte-aligned, so a frame-aligned slice always starts on a byte
-  * boundary. Each task then seeks to its own (bits, values) ranges,
-  * decodes its frames independently, and writes a raw part file; the
-  * driver stream-concatenates parts in slice order. Driver memory is
-  * O(#slices) + a streaming buffer; per-task memory is bounded by the
-  * slice cap — the old driver-side whole-file read (and its 2 GiB
-  * Int-array ceiling) is gone.
+  * bit offset (fl_gpu.cu:595-601). That scan is realized as the classic
+  * distributed two-phase prefix sum: stage 1 tasks each total their own
+  * slice's frame bit counts, the driver folds the O(#slices) partials
+  * into exclusive byte offsets — exact, because every full frame's
+  * payload is `bits_f*16` bytes, always byte-aligned, so a frame-aligned
+  * slice always starts on a byte boundary. Stage 2 tasks seek to their
+  * own (bits, values) ranges, decode their frames independently, and
+  * write raw part files the driver stream-concatenates in slice order.
+  * Driver memory is O(#slices) + a stream buffer; per-task memory is
+  * bounded by the slice cap — the old driver-side whole-file read (and
+  * its 2 GiB Int-array ceiling) is gone, and nothing O(n) ever passes
+  * through the driver (at 100 TB even the bits array alone is ~0.8 TB).
   *
   * This is the one deliberate RDD surface in the engine (north_rule says
   * Dataset-first): the input is an opaque byte file with no schema, so a
@@ -128,38 +129,51 @@ object FlFileJob {
     val bounds = sliceBounds(inputSize, slices)
     val startFrames = bounds.map(_._1 / ReferenceFl.FrameLength)
 
-    // one streaming pass over the bits region (the reference's prefix scan
-    // over bits[f]*128, fl_gpu.cu:595-601, reduced to O(#slices) driver
-    // state): cumulative payload BYTE offset at each slice's start frame
-    val valueStarts = new Array[Long](bounds.size + 1)
-    val is = new java.io.BufferedInputStream(new java.io.FileInputStream(in), 1 << 20)
-    try {
-      var toSkip = ReferenceFl.HeaderBytes
-      while (toSkip > 0) {
-        val s = is.skip(toSkip)
-        require(s > 0, s"cannot skip header in $in")
-        toSkip -= s
-      }
-      var cumBits = 0L
-      var f = 0L
-      var b = 0
-      while (f < bitsSize) {
-        while (b < bounds.size && startFrames(b) == f) {
-          // full frames are bits_f*128 bits = bits_f*16 bytes: byte-aligned
-          require(cumBits % 8 == 0, s"slice $b starts mid-byte — corrupt bits array")
-          valueStarts(b) = cumBits / 8
-          b += 1
+    // stage 1 — DISTRIBUTED partial sums over the bits array (the
+    // reference's own two-phase sizing: prefix scan over bits[f]*128,
+    // fl_gpu.cu:595-601): each task sums its own slice's frame bit
+    // counts, the driver folds the O(#slices) partials into exclusive
+    // byte offsets. Nothing O(n) ever flows through the driver — at a
+    // 100-TB file the bits array alone is ~0.8 TB, far too much for a
+    // driver-side streaming pass.
+    val headerBytes = ReferenceFl.HeaderBytes
+    val sliceBitTotals = spark.sparkContext
+      .parallelize(bounds.zipWithIndex, bounds.size)
+      .map { case ((outStart, outEnd), idx) =>
+        val frameStart = outStart / ReferenceFl.FrameLength
+        val frameCnt = ((outEnd - outStart + ReferenceFl.FrameLength - 1) /
+          ReferenceFl.FrameLength).toInt
+        val bits = readRange(in, headerBytes + frameStart, frameCnt.toLong, s"slice $idx bits")
+        var total = 0L
+        var f = 0
+        while (f < frameCnt) {
+          val w = bits(f) & 0xff
+          require(w >= 1 && w <= 8,
+            s"bits[${frameStart + f}] = $w out of [1,8] — truncated or corrupt file")
+          total += w.toLong * math.min(ReferenceFl.FrameLength.toLong,
+            outEnd - outStart - f.toLong * ReferenceFl.FrameLength)
+          f += 1
         }
-        val w = is.read()
-        require(w >= 1 && w <= 8, s"bits[$f] = $w out of [1,8] — truncated or corrupt file")
-        cumBits += w.toLong * math.min(ReferenceFl.FrameLength.toLong,
-          inputSize - f * ReferenceFl.FrameLength)
-        f += 1
+        (idx, total)
       }
-      valueStarts(bounds.size) = valuesSize
-      require((cumBits + 7) / 8 == valuesSize,
-        s"bits array implies ${(cumBits + 7) / 8} payload bytes, header says $valuesSize")
-    } finally is.close()
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+
+    val valueStarts = new Array[Long](bounds.size + 1)
+    var cumBits = 0L
+    var b = 0
+    while (b < bounds.size) {
+      // every slice except the last holds only FULL frames (bits_f*128
+      // bits = bits_f*16 bytes each), so slice boundaries are byte-aligned
+      require(cumBits % 8 == 0, s"slice $b starts mid-byte — corrupt bits array")
+      valueStarts(b) = cumBits / 8
+      cumBits += sliceBitTotals(b)
+      b += 1
+    }
+    valueStarts(bounds.size) = valuesSize
+    require((cumBits + 7) / 8 == valuesSize,
+      s"bits array implies ${(cumBits + 7) / 8} payload bytes, header says $valuesSize")
 
     val partsDir = s"$out.parts"
     rmrf(Paths.get(partsDir))
@@ -170,7 +184,6 @@ object FlFileJob {
     val tasks = bounds.zipWithIndex.map { case ((outStart, outEnd), idx) =>
       (idx, startFrames(idx), valueStarts(idx), valueStarts(idx + 1), outEnd - outStart)
     }
-    val headerBytes = ReferenceFl.HeaderBytes
     val meta = spark.sparkContext
       .parallelize(tasks, tasks.size)
       .map { case (idx, frameStart, vStart, vEnd, outLen) =>
