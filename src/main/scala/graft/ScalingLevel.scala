@@ -52,17 +52,32 @@ object ScalingLevel {
     EncodeJob.run(spark, input.limit((n / 10).toInt.max(1)), warmDir,
       EncodeJob.Config(numPartitions = parts, codecMode = mode))
 
-    val best = (1 to reps).map { rep =>
+    // hypervisor steal makes identical runs swing up to 4x on this shared
+    // VM and is INVISIBLE in loadavg — measure it per rep from /proc/stat
+    // so a contaminated measurement identifies itself in the log
+    def cpuStat(): (Long, Long) = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 8) f(8) else 0L)
+      } finally src.close()
+    }
+
+    val runs = (1 to reps).map { rep =>
       rmrf(encDir)
+      val (t0, s0) = cpuStat()
       val r = EncodeJob.run(spark, input, encDir,
         EncodeJob.Config(numPartitions = parts, codecMode = mode))
+      val (t1, s1) = cpuStat()
+      val stealPct = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
       System.err.println(f"[level] local[$cpus] $mode rep$rep: wall ${r.wallNanos / 1e9}%.2f s " +
         f"(bounds ${r.boundsNanos / 1e9}%.2f, encode ${r.encodeNanos / 1e9}%.2f, " +
-        f"manifest ${r.manifestNanos / 1e9}%.2f)")
-      r
-    }.minBy(_.wallNanos)
+        f"manifest ${r.manifestNanos / 1e9}%.2f, steal $stealPct%.1f%%)")
+      (r, stealPct)
+    }
+    val (best, bestSteal) = runs.minBy(_._1.wallNanos)
     spark.stop()
 
-    println(f"""{"cpus":$cpus,"wallSec":${best.wallNanos / 1e9}%.3f,"encodeSec":${best.encodeNanos / 1e9}%.3f,"rawBytes":${best.rawBytes},"encBytes":${best.encBytes},"flBaselineBytes":${best.flBaselineBytes},"gbps":${best.rawBytes / 1e9 / (best.wallNanos / 1e9)}%.4f}""")
+    println(f"""{"cpus":$cpus,"wallSec":${best.wallNanos / 1e9}%.3f,"encodeSec":${best.encodeNanos / 1e9}%.3f,"rawBytes":${best.rawBytes},"encBytes":${best.encBytes},"flBaselineBytes":${best.flBaselineBytes},"gbps":${best.rawBytes / 1e9 / (best.wallNanos / 1e9)}%.4f,"stealPct":$bestSteal%.1f}""")
   }
 }
