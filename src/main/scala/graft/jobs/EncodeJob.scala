@@ -109,6 +109,14 @@ object EncodeJob {
       encodeNanos: Long = 0L,
       manifestNanos: Long = 0L)
 
+  /** Partition-count rule (README §Sizing at cluster scale): one pid per
+    * ~128 MiB of RAW input so the post-shuffle per-task sort stays inside
+    * execution memory (rows sit at 2-3x raw inside the sorter; measured:
+    * 20 GB at 154 MB/pid spilled to 134 s where 77 MB/pid ran 75 s),
+    * floored at 2 tasks per core for scheduling granularity. */
+  def suggestPartitions(rawBytes: Long, totalCores: Int): Int =
+    math.max(2 * totalCores, ((rawBytes + (128L << 20) - 1) / (128L << 20)).toInt)
+
   def chunksDir(outDir: String) = s"$outDir/chunks"
   def manifestDir(outDir: String) = s"$outDir/manifest"
   def boundsPath(outDir: String) = s"$outDir/bounds.json"

@@ -9,7 +9,8 @@ import graft.sources.{TableIO, WebtextGen}
   *
   * Usage (args after the subcommand):
   *   gen    <outParquet> <nDocs> [seed] [skewShare]
-  *   encode <inParquet> <outDir> [partitions] [pidUpperBound]
+  *   encode <inParquet> <outDir> [partitions|auto] [pidUpperBound]
+  *          (auto/omitted = ~128 MiB of raw input per pid, floor 2x cores)
   *   decode <outDir> <decodedParquet> [col,col[,..]] [loUrl hiUrl]
   *   verify <inParquet> <outDir>
   *   stats  <outDir>
@@ -56,7 +57,21 @@ object PipelineCli {
       case "encode" :: in :: outDir :: rest =>
         val spark = session("graft-encode")
         import spark.implicits._
-        val parts = rest.headOption.map(_.toInt).getOrElse(32)
+        // "auto" sizes pids from the input: on-disk parquet bytes x3
+        // (typical raw:parquet ratio here) through the 128 MiB/pid rule
+        val parts = rest.headOption match {
+          case Some("auto") | None =>
+            val onDisk = {
+              def size(f: java.io.File): Long =
+                if (f.isDirectory) f.listFiles().map(size).sum else f.length()
+              size(new java.io.File(in))
+            }
+            val p = EncodeJob.suggestPartitions(onDisk * 3,
+              spark.sparkContext.defaultParallelism)
+            System.err.println(s"[encode] auto partitions: $p (input $onDisk bytes on disk)")
+            p
+          case Some(n) => n.toInt
+        }
         val cap = rest.drop(1).headOption.map(_.toInt)
         val input = TableIO.read(spark, in).as[graft.model.Page]
         val r = EncodeJob.run(spark, input, outDir,

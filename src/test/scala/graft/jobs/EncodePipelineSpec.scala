@@ -148,6 +148,13 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(hit == Seq(uSupp))
   }
 
+  test("suggestPartitions follows the 128 MiB/pid rule with a 2x-cores floor") {
+    assert(EncodeJob.suggestPartitions(0L, 32) == 64)
+    assert(EncodeJob.suggestPartitions(1L << 30, 4) == 8) // 1 GiB, small cluster: floor wins
+    assert(EncodeJob.suggestPartitions(20L << 30, 32) == 160) // 20 GiB -> 160 pids of 128 MiB
+    assert(EncodeJob.suggestPartitions(100L << 40, 4000) == 819200) // 100 TiB
+  }
+
   test("per-column codec choices are data-appropriate") {
     import spark.implicits._
     val outDir = tmpDir("graft-codecsel")
