@@ -61,6 +61,7 @@ object SparkEntry {
     "q_seq_pack" -> (qSeqPack(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_engine_roundtrip" -> (qEngineRoundtrip(_, _)),
+    "q_engine_rt_range" -> (qEngineRtRange(_, _)),
     // SQL-registered codec surface (Table B UDF/UDAF row)
     "q_sql_codec" -> (qSqlCodec(_, _)))
 
@@ -362,6 +363,11 @@ object SparkEntry {
       """SELECT printf('https://doc.example/%09d', doc_id) AS url,
         |       md5(text) AS text_md5, lang
         |FROM documents""".stripMargin,
+    // range-pruned projected decode: urls embed doc_id order-preservingly,
+    // so the engine's url-range decode must equal a doc_id BETWEEN
+    "q_engine_rt_range" ->
+      """SELECT printf('https://doc.example/%09d', doc_id) AS url, lang
+        |FROM documents WHERE doc_id BETWEEN 100 AND 299""".stripMargin,
     // same md5-nibble hash on both engines (shift arithmetic, not 16**k —
     // exact in integers), so the sampled set is identical by construction
     "q_sample_stratified" ->

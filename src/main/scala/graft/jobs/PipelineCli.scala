@@ -9,6 +9,7 @@ import graft.sources.{TableIO, WebtextGen}
   *
   * Usage (args after the subcommand):
   *   gen    <outParquet> <nDocs> [seed] [skewShare]
+  *   ingest <inJsonlDir> <outParquet>          (crawl-drop JSONL -> Page table)
   *   encode <inParquet> <outDir> [partitions|auto] [pidUpperBound]
   *          (auto/omitted = ~128 MiB of raw input per pid, floor 2x cores)
   *   decode <outDir> <decodedParquet> [col,col[,..]] [loUrl hiUrl]
@@ -52,6 +53,16 @@ object PipelineCli {
         TableIO.write(WebtextGen.pages(spark, n.toLong, seed = seed, skewShare = skew)
           .toDF(), out, org.apache.spark.sql.SaveMode.Overwrite)
         println(s"""{"op":"gen","rows":$n,"out":"$out"}""")
+        spark.stop()
+
+      // JSONL crawl-drop ingestion: schema'd read (html base64) -> Page
+      // parquet, ready for encode
+      case "ingest" :: in :: out :: Nil =>
+        val spark = session("graft-ingest")
+        val pages = graft.sources.JsonlPages.read(spark, in)
+        TableIO.write(pages.toDF(), out, org.apache.spark.sql.SaveMode.Overwrite)
+        val n = spark.read.parquet(out).count()
+        println(s"""{"op":"ingest","rows":$n,"out":"$out"}""")
         spark.stop()
 
       case "encode" :: in :: outDir :: rest =>

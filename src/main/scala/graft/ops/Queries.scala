@@ -599,6 +599,39 @@ object Queries {
       .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")
   }
 
+  /** Range-pruned engine decode under the oracle: same encode as
+    * [[qEngineRoundtrip]] (own scratch dir), then a PROJECTED decode
+    * restricted to an inclusive url range — chunk-level (urlMin, urlMax)
+    * pruning plus exact row-level UTF-8 range filtering, the engine's
+    * partition-pruning analog. The %09d url embeds doc_id order-
+    * preservingly, so the oracle is a plain BETWEEN on doc_id. */
+  def qEngineRtRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.jobs.{DecodeJob, EncodeJob}
+    import graft.model.Page
+    val pages = t(spark, dir, "documents").select(
+        format_string("https://doc.example/%09d", $"doc_id").as("url"),
+        timestamp_seconds(lit(1700000000L) + $"doc_id").as("warc_ts"),
+        $"text".cast("binary").as("html"),
+        $"text",
+        $"lang")
+      .as[Page](Encoders.product[Page])
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-engine-rtr-${Integer.toHexString(dir.hashCode)}").toString
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rmrf(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmrf(java.nio.file.Paths.get(out))
+    EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
+    val lo = "https://doc.example/%09d".format(100L)
+    val hi = "https://doc.example/%09d".format(299L)
+    DecodeJob.runProjected(spark, out, Seq("url", "lang"), Some((lo, hi)))
+  }
+
   /** JSON functions: serialize per-row metadata to JSON and extract it
     * back (each engine builds its own JSON, so only the extracted values
     * — identical across engines — are compared). The shape of a sidecar

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON-lines interchange for Page tables — the shape crawl drops arrive
+  * in before they are parquet (one JSON object per line, binary `html`
+  * carried base64). The reference ingests raw byte files
+  * (/root/reference/src/file_io.cu:73-115); a schema'd text format is its
+  * table-world analog. The schema is EXPLICIT on read: inference would
+  * type html as plain string and silently mis-shape the table.
+  *
+  * Spark's JSON source splits by line, so a multi-GB .jsonl (or .jsonl.gz
+  * per file) parallelizes across tasks like any other scan; this is a
+  * format adapter, not a new execution path — everything downstream is
+  * the ordinary encode pipeline.
+  */
+object JsonlPages {
+
+  private val WireSchema = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html_b64", StringType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Explicit microsecond timestamp format on BOTH sides: the JSON
+    * source's default pattern carries milliseconds only, silently
+    * truncating warc_ts and breaking byte-identity on round-trip. */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def write(ds: Dataset[graft.model.Page], path: String): Unit =
+    ds.select(col("url"), col("warc_ts"),
+        base64(col("html")).as("html_b64"), col("text"), col("lang"))
+      .write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", TsFormat)
+      .json(path)
+
+  def read(spark: SparkSession, path: String): Dataset[graft.model.Page] =
+    spark.read.schema(WireSchema)
+      .option("timestampFormat", TsFormat)
+      .option("mode", "FAILFAST") // a malformed crawl line fails loudly
+      .json(path)
+      .select(col("url"), col("warc_ts"),
+        unbase64(col("html_b64")).as("html"), col("text"), col("lang"))
+      .as[graft.model.Page](Encoders.product[graft.model.Page])
+}
