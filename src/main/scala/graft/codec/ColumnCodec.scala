@@ -85,12 +85,18 @@ object ColumnCodec {
     }
   }
 
-  /** Cheap strided uniqueness probe over the WHOLE column: ~1k rows at a
-    * fixed stride, keyed by (length, first/last 16 bytes) hash. Collisions
-    * only make the sample look LESS unique, so a "unique" verdict is
-    * trustworthy while a "repetitive" verdict merely continues the exact
-    * pass — the probe can skip work but never mis-select. */
-  private def stridedLooksUnique(present: Array[Array[Byte]]): Boolean = {
+  /** Cheap strided cardinality probe over the WHOLE column: ~1k rows at a
+    * fixed stride, keyed by a (length, first/last 16 bytes) hash. Returns
+    * true when the sample's collision count implies the column's distinct
+    * count exceeds [[DictMaxCardinality]] — the birthday estimate
+    * D ~= k^2/2c inverted: fewer than k^2/(2*cap) collisions among k
+    * samples means D >~ cap, so the dictionary would overflow anyway.
+    * (A plain >90%-unique test here mis-kills dict for mid-cardinality
+    * columns: 10k distinct values in 65k rows sample ~95% unique yet
+    * dict-compress ~6x.) Hash collisions only INFLATE the collision
+    * count, i.e. bias toward keeping the dict candidate — the exact pass
+    * then decides; the probe can skip work but never mis-select. */
+  private def stridedImpliesOverCap(present: Array[Array[Byte]]): Boolean = {
     val step = math.max(1, present.length / 1024)
     val seen = new java.util.HashSet[Long]()
     var cnt = 0
@@ -107,7 +113,8 @@ object ColumnCodec {
       cnt += 1
       i += step
     }
-    seen.size.toLong * 10 > cnt.toLong * 9
+    val collisions = (cnt - seen.size).toLong
+    collisions * 2L * DictMaxCardinality < cnt.toLong * cnt.toLong
   }
 
   // --------------------------------------------------------------- longs
@@ -118,9 +125,23 @@ object ColumnCodec {
     * CPU path does (fl_cpu.cu:9-90), for apples-to-apples throughput. */
   def encodeLongs(values: Array[Long], nulls: Array[Boolean] = null,
                   flOnly: Boolean = false): Encoded = {
+    require(values.length <= Int.MaxValue / 8,
+      s"long column chunk too large: ${values.length} values")
     val present =
       if (nulls == null) values
-      else values.indices.collect { case i if !nulls(i) => values(i) }.toArray
+      else {
+        var m = 0
+        var i = 0
+        while (i < values.length) { if (!nulls(i)) m += 1; i += 1 }
+        val out = new Array[Long](m)
+        var src = 0
+        i = 0
+        while (i < values.length) {
+          if (!nulls(i)) { out(src) = values(i); src += 1 }
+          i += 1
+        }
+        out
+      }
     val rawBytes = 8L * values.length
 
     val forSize = if (flOnly) Long.MaxValue else ForLongs.sizeOf(present)
@@ -199,7 +220,11 @@ object ColumnCodec {
     val present = if (nulls == null) values else values.filter(_ != null)
     val lengths = present.map(_.length.toLong)
     val payloadLen = lengths.sum
-    require(payloadLen <= Int.MaxValue - 16, s"column chunk payload too large: $payloadLen")
+    // bound the LARGEST derived buffer (plainStream = 8 bytes/row of
+    // lengths + payload), not just the payload — 8L*n + payload can wrap
+    // an Int allocation even when the payload alone fits
+    require(8L * present.length + payloadLen <= Int.MaxValue - 16,
+      s"column chunk too large: $payloadLen payload bytes over ${present.length} rows")
     val payload = new Array[Byte](payloadLen.toInt)
     var off = 0
     present.foreach { v => System.arraycopy(v, 0, payload, off, v.length); off += v.length }
@@ -241,7 +266,7 @@ object ColumnCodec {
         i += 1
         if (!probed && (i & 1023) == 0 && map.size * 10 > i * 9) { // prefix >90% unique
           probed = true
-          if (stridedLooksUnique(present)) ok = false
+          if (stridedImpliesOverCap(present)) ok = false
         }
       }
       if (!ok) None
@@ -277,7 +302,11 @@ object ColumnCodec {
       if (flOnly) Seq("fl_plain" -> flSize)
       else {
         val (bestPayloadName, bestPayloadSize) = payloadCandidates.minBy(_._2)
-        Seq(s"$bestPayloadName+lens" -> (lenSize + bestPayloadSize + 2),
+        // composite body = [lenCodecId][varint lbLen][lb][pCodecId][pb]:
+        // the varint length prefix is part of the realized block, so it is
+        // part of the candidate size (the estimates are exact by contract)
+        Seq(s"$bestPayloadName+lens" ->
+            (lenSize + Varint.sizeUnsigned(lenSize) + bestPayloadSize + 2),
           "fl_plain" -> flSize) ++
           dictCandidate.map { case (s, _, _) => "dict" -> s }
       }

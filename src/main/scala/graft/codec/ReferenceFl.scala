@@ -106,6 +106,14 @@ object ReferenceFl {
     * file_io.cu:39-56) and behind our per-partition independence. */
   def merge(parts: Seq[FlCompressed]): FlCompressed = {
     val nonEmpty = parts.filter(_.inputSize > 0)
+    // enforce the invariant instead of documenting it: a misaligned part
+    // would concatenate into a stream that DECODES, just wrongly
+    if (nonEmpty.nonEmpty)
+      nonEmpty.init.zipWithIndex.foreach { case (p, i) =>
+        require(p.inputSize % FrameLength == 0,
+          s"merge part $i has ${p.inputSize} input bytes — every part except " +
+            s"the last must be $FrameLength-aligned or the concat mis-decodes")
+      }
     FlCompressed(
       nonEmpty.map(_.inputSize).sum,
       nonEmpty.toArray.flatMap(_.bits),

@@ -37,6 +37,10 @@ final class ByteCursor(val buf: Array[Byte], var pos: Int = 0) {
   def readUnsignedVarint(): Long = {
     var shift = 0; var out = 0L; var b = 0
     do {
+      // a valid LEB128 long is at most 10 bytes (shift 0..63); anything
+      // longer is corruption — fail here, not as silent garbage offsets
+      // or an out-of-bounds read far from the damage
+      require(shift < 64, s"varint longer than 10 bytes at offset $pos — corrupt block")
       b = buf(pos) & 0xff
       pos += 1
       out |= (b & 0x7fL) << shift

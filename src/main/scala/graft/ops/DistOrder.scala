@@ -74,9 +74,16 @@ object DistOrder {
         def next(): LocalRun = { val r = pending; pending = null; r }
       }
     }(Encoders.product[LocalRun])
-      // two actions below (boundary summary, final rows) must see the SAME
-      // range boundaries — persist pins them (runs are far smaller than rows)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // The two actions below (boundary summary, final rows) must see the
+      // IDENTICAL local runs. persist() is not enough: it is best-effort,
+      // and a lost block would be RECOMPUTED — with duplicate sort keys the
+      // tie order (and so the run structure) of the recompute can differ
+      // from what the summaries were built from, silently mis-stitching
+      // global run ids. localCheckpoint truncates lineage entirely: blocks
+      // cannot be recomputed, only lost loudly. (Blocks are released by the
+      // ContextCleaner once this Dataset goes out of scope — the method
+      // returns only the merged result below.)
+      .localCheckpoint(true)
 
     // O(#partitions) boundary state to the driver; never payload rows
     val summaries: Array[Row] = localRuns.groupBy(col("part")).agg(
@@ -111,12 +118,9 @@ object DistOrder {
       // a run chained across partitions shares one id; summing re-joins it
       .groupBy(col("run_id"))
       .agg(min(col("val")).as("val"), sum(col("run_len")).as("run_len"))
-    // materialize the (merged, smaller) result once, then drop the cached
-    // intermediate — repeated invocations in one session otherwise leak
-    // persisted blocks for the session's lifetime
-    val out = result.localCheckpoint(true)
-    localRuns.unpersist(false)
-    out
+    // materialize the (merged, smaller) result once; the checkpointed
+    // intermediate's blocks are then unreferenced and cleaner-collected
+    result.localCheckpoint(true)
   }
 
   /** Per-partition contribution to one ntile bucket. */
@@ -165,7 +169,12 @@ object DistOrder {
         def hasNext: Boolean = {
           while (pending == null && !exhausted) {
             if (rows.hasNext) {
-              val k = rows.next().getLong(0)
+              val row = rows.next()
+              // fail with intent, not an opaque NPE: window ntile sorts
+              // nulls first, which this key-typed primitive does not model
+              require(!row.isNullAt(0),
+                "ntileRanges: null key values are not supported — filter or coalesce the key first")
+              val k = row.getLong(0)
               val b = bucketOf(rank)
               rank += 1
               if (b == curBucket) { cnt += 1; hi = k }

@@ -144,6 +144,45 @@ class ColumnCodecSpec extends AnyFunSuite with GenDriven {
     assert(textEnc.bytes.length < textEnc.rawBytes / 2)
   }
 
+  test("dict survives mid-cardinality columns the uniqueness heuristic would kill") {
+    // 60k rows over 10k distinct 40-byte values in random order: a ~1k
+    // sample looks ~92% unique (so a plain uniqueness probe aborts dict),
+    // but D=10k is far under the 65536 cap and dict wins clearly — the
+    // probe must reason about implied cardinality, not sample uniqueness
+    val rnd = new scala.util.Random(5)
+    // values themselves are incompressible (random alphanumerics), so only
+    // the dictionary can exploit the repetition — isolates the probe call
+    val alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    val vals = Array.fill(10000)(
+      Array.fill(40)(alpha(rnd.nextInt(alpha.length)).toByte))
+    val col = Array.fill(60000)(vals(rnd.nextInt(vals.length)))
+    val enc = ColumnCodec.encodeBytes(col)
+    assert(enc.codecName == "dict", enc.codecName)
+    val back = ColumnCodec.decodeBytes(enc.bytes)
+    col.indices.foreach(i => assert(back(i).toSeq == col(i).toSeq))
+  }
+
+  test("corrupt varint fails loudly instead of mis-slicing") {
+    val enc = ColumnCodec.encodeBytes(Array.tabulate(50)(i => s"value-$i".getBytes("UTF-8")))
+    // overwrite the row-count varint region with endless continuation bytes
+    val corrupt = enc.bytes.clone()
+    (1 until math.min(14, corrupt.length)).foreach(i => corrupt(i) = 0x80.toByte)
+    val ex = intercept[IllegalArgumentException] { ColumnCodec.decodeBytes(corrupt) }
+    assert(ex.getMessage.contains("varint") || ex.getMessage.contains("version"), ex.getMessage)
+  }
+
+  test("ReferenceFl.merge rejects misaligned interior parts") {
+    val a = ReferenceFl.compress(Array.tabulate(100)(_.toByte)) // not 128-aligned
+    val b = ReferenceFl.compress(Array.tabulate(100)(_.toByte))
+    val ex = intercept[IllegalArgumentException] { ReferenceFl.merge(Seq(a, b)) }
+    assert(ex.getMessage.contains("aligned"))
+    // aligned parts still merge and round-trip
+    val c = ReferenceFl.compress(Array.tabulate(256)(_.toByte))
+    val merged = ReferenceFl.merge(Seq(c, b))
+    assert(ReferenceFl.decompress(merged).toSeq ==
+      (Array.tabulate(256)(_.toByte) ++ Array.tabulate(100)(_.toByte)).toSeq)
+  }
+
   test("dict survives a unique head on a globally repetitive column") {
     // first ~1.5k rows unique (sorted-input shape), remaining 30k rows from
     // 8 values: the prefix early-abort alone would discard the dict
