@@ -28,7 +28,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val (repeat, names) = args.toList match {
-      case "-r" :: n :: rest => (n.toInt, rest)
+      case "-r" :: n :: rest => (math.max(1, n.toInt), rest)
       case rest              => (3, rest)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,14 +56,21 @@ object Bench {
       (1 to repeat).foreach { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // noop sink, NOT count(): count lets Catalyst prune every
+          // unreferenced projection, so a select-only query would be
+          // timed as a parquet metadata count (and a projection that
+          // throws at runtime would be optimized away and "pass")
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable => lastErr = e }
       }
-      if (best == Double.MaxValue) { // every rep threw: sentinel, not a time
+      if (lastErr != null) {
+        // ANY failed rep is surfaced (a flaky query is a broken query),
+        // even when another rep produced a timing
         errors(name) = s"${lastErr.getClass.getSimpleName}: ${String.valueOf(lastErr.getMessage).take(200)}"
-        name -> -1.0
-      } else name -> best
+      }
+      if (best == Double.MaxValue) name -> -1.0 // every rep threw: sentinel
+      else name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

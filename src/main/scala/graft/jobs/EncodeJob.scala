@@ -107,7 +107,13 @@ object EncodeJob {
       wallNanos: Long,
       boundsNanos: Long = 0L,
       encodeNanos: Long = 0L,
-      manifestNanos: Long = 0L)
+      manifestNanos: Long = 0L,
+      /** Work of THIS invocation only (rows/rawBytes/encBytes above are
+        * whole-manifest running totals — resume-skipped pids included):
+        * throughput math must divide this-run bytes by this-run wall. */
+      rowsThisRun: Long = 0L,
+      rawBytesThisRun: Long = 0L,
+      encBytesThisRun: Long = 0L)
 
   /** Partition-count rule (README §Sizing at cluster scale): one pid per
     * ~128 MiB of RAW input so the post-shuffle per-task sort stays inside
@@ -123,16 +129,27 @@ object EncodeJob {
 
   // ---------------------------------------------------------------- bounds
 
-  /** Upper-exclusive cut points; pid = #bounds <= url (binary search). */
-  def pidOf(bounds: Array[String], url: String): Int = {
+  /** Upper-exclusive cut points; pid = #bounds <= url (binary search).
+    * Comparison is UTF-8 BINARY order — the one ordering used everywhere
+    * (kernel sort, manifest min/max merge, decode range filter). Java
+    * String order (UTF-16 code units) disagrees for supplementary-plane
+    * characters, which would make adjacent pids' manifest url ranges
+    * overlap and weaken chunk-level range pruning. */
+  def pidOf(bounds: Array[String], url: String): Int =
+    pidOfBytes(bounds.map(_.getBytes(UTF_8)), url.getBytes(UTF_8))
+
+  private[jobs] def pidOfBytes(bounds: Array[Array[Byte]], url: Array[Byte]): Int = {
     var lo = 0
     var hi = bounds.length // pid range is [0, bounds.length]
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (url >= bounds(mid)) lo = mid + 1 else hi = mid
+      if (java.util.Arrays.compareUnsigned(url, bounds(mid)) >= 0) lo = mid + 1 else hi = mid
     }
     lo
   }
+
+  private val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) => utf8Compare(a, b)
 
   /** Compute (or reload pinned) url-range cut points in ONE pass: every
     * input partition returns its row count plus a fixed-size uniform
@@ -142,10 +159,8 @@ object EncodeJob {
     * steer balance, so sketch precision is ample. */
   private def loadOrComputeBounds(
       spark: SparkSession, input: Dataset[Page], outDir: String, cfg: Config): Array[String] = {
-    val p = Paths.get(boundsPath(outDir))
-    if (Files.exists(p)) {
-      val txt = Files.readString(p)
-      parseJsonStringArray(txt)
+    if (TableIO.exists(spark, boundsPath(outDir))) {
+      parseJsonStringArray(TableIO.readTextFile(spark, boundsPath(outDir)))
     } else {
       import spark.implicits._
       val k = math.max(64, cfg.seedSampleSize / 16) // per-partition reservoir
@@ -170,7 +185,7 @@ object EncodeJob {
       val weighted = perPart.filter(_._2.nonEmpty).flatMap { case (cnt, arr) =>
         val w = cnt.toDouble / arr.length
         arr.map(u => (u, w))
-      }.sortBy(_._1)
+      }.sortBy(_._1)(Utf8Ordering)
       val bounds =
         if (weighted.length < cfg.numPartitions) Array.empty[String]
         else {
@@ -185,10 +200,12 @@ object EncodeJob {
           out.toArray.distinct
         }
       val sampledRows = perPart.map(_._1).sum
-      if (sampledRows >= cfg.boundsPinMinRows) {
-        Files.createDirectories(p.getParent)
-        Files.writeString(p, bounds.map(jsonQuote).mkString("[", ",", "]"))
-      }
+      // never pin EMPTY bounds: an empty/tiny first run would otherwise
+      // freeze "everything is pid 0" for all later (larger) runs into the
+      // same outDir; empty bounds are trivially re-derivable anyway
+      if (sampledRows >= cfg.boundsPinMinRows && bounds.nonEmpty)
+        TableIO.writeTextFile(spark, boundsPath(outDir),
+          bounds.map(jsonQuote).mkString("[", ",", "]"))
       bounds
     }
   }
@@ -235,10 +252,48 @@ object EncodeJob {
     val tBounds = System.nanoTime()
     val boundsBc = spark.sparkContext.broadcast(bounds)
 
-    val completed: Set[Int] =
-      if (cfg.resume && Files.exists(Paths.get(manifestDir(outDir))))
+    var completed: Set[Int] =
+      if (cfg.resume && TableIO.exists(spark, manifestDir(outDir)))
         TableIO.read(spark, manifestDir(outDir)).select($"pid").as[Int].collect().toSet
       else Set.empty
+
+    // Reconcile the crash window between the chunk commit and the manifest
+    // commit: a run that died there left COMPLETE chunk data (the parquet
+    // job commit is atomic) with no manifest row, so a naive resume would
+    // re-encode those pids and append duplicate chunks. Orphan pids are
+    // detected with one leaf-pruned metadata scan and their manifest rows
+    // are rebuilt from chunk metadata (O(#orphan chunks) driver rows, no
+    // payload bytes) under a "reconcile-" attemptId.
+    if (cfg.resume && TableIO.exists(spark, chunksDir(outDir))) {
+      val chunkScan = spark.read
+        .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+        .format(TableIO.format(spark)).load(chunksDir(outDir))
+      val orphans = chunkScan.select($"pid").distinct().as[Int].collect().toSet -- completed
+      if (orphans.nonEmpty) {
+        val metaRows = chunkScan
+          .filter($"pid".isin(orphans.toSeq: _*))
+          .select($"pid", $"rows", $"urlMin", $"urlMax", $"rawBytes", $"encBytes",
+            $"flBaselineBytes", $"encodeNanos", $"textCrc32",
+            $"url.codec", $"warc_ts.codec", $"html.codec", $"text.codec", $"lang.codec")
+          .collect()
+        val tag = "reconcile-" + java.util.UUID.randomUUID().toString
+        val now = System.currentTimeMillis()
+        def codecsOf(cs: Array[org.apache.spark.sql.Row], i: Int): String =
+          cs.map(_.getString(i)).distinct.sorted.mkString("|")
+        val rebuilt = metaRows.groupBy(_.getInt(0)).map { case (pid, cs) =>
+          PartitionManifest(pid, cs.length.toLong, cs.map(_.getLong(1)).sum,
+            cs.map(_.getString(2)).min(Utf8Ordering), cs.map(_.getString(3)).max(Utf8Ordering),
+            cs.map(_.getLong(4)).sum, cs.map(_.getLong(5)).sum, cs.map(_.getLong(6)).sum,
+            cs.map(_.getLong(7)).sum, cs.map(_.getLong(8)).foldLeft(0L)(_ ^ _),
+            Map("url" -> codecsOf(cs, 9), "warc_ts" -> codecsOf(cs, 10),
+              "html" -> codecsOf(cs, 11), "text" -> codecsOf(cs, 12),
+              "lang" -> codecsOf(cs, 13)),
+            tag, now)
+        }.toSeq.sortBy(_.pid)
+        TableIO.write(spark.createDataset(rebuilt).toDF(), manifestDir(outDir), SaveMode.Append)
+        completed = completed ++ orphans
+      }
+    }
     val completedBc = spark.sparkContext.broadcast(completed)
 
     val pidCap = cfg.pidUpperBound.getOrElse(Int.MaxValue)
@@ -246,7 +301,8 @@ object EncodeJob {
     // Tungsten-binary until AFTER the shuffle (only `url` is evaluated);
     // a typed .map here would materialize every html/text payload as JVM
     // objects on the map side just to re-serialize them for the shuffle
-    val assignPid = udf((url: String) => pidOf(boundsBc.value, url))
+    val boundsBytesBc = spark.sparkContext.broadcast(bounds.map(_.getBytes(UTF_8)))
+    val assignPid = udf((url: String) => pidOfBytes(boundsBytesBc.value, url.getBytes(UTF_8)))
     val isPending = udf((pid: Int) => !completedBc.value.contains(pid) && pid < pidCap)
     val withPid = input.toDF()
       .withColumn("pid", assignPid($"url"))
@@ -322,7 +378,7 @@ object EncodeJob {
     // empty input with no prior runs leaves no manifest at all — report
     // zeros instead of failing the read
     val stats =
-      if (!Files.exists(Paths.get(manifestDir(outDir))))
+      if (!TableIO.exists(spark, manifestDir(outDir)))
         (0L, None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long])
       else TableIO.read(spark, manifestDir(outDir))
         .agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
@@ -337,7 +393,10 @@ object EncodeJob {
       wallNanos = System.nanoTime() - t0,
       boundsNanos = tBounds - t0,
       encodeNanos = tEncode - tBounds,
-      manifestNanos = System.nanoTime() - tEncode)
+      manifestNanos = System.nanoTime() - tEncode,
+      rowsThisRun = manifestRows.map(_.rows).sum,
+      rawBytesThisRun = manifestRows.map(_.rawBytes).sum,
+      encBytesThisRun = manifestRows.map(_.encBytes).sum)
   }
 
   private def utf8Compare(a: String, b: String): Int =

@@ -61,7 +61,7 @@ object PipelineCli {
         val spark = session("graft-ingest")
         val pages = graft.sources.JsonlPages.read(spark, in)
         TableIO.write(pages.toDF(), out, org.apache.spark.sql.SaveMode.Overwrite)
-        val n = spark.read.parquet(out).count()
+        val n = TableIO.read(spark, out).count() // honors the table-format conf
         println(s"""{"op":"ingest","rows":$n,"out":"$out"}""")
         spark.stop()
 
@@ -88,8 +88,11 @@ object PipelineCli {
         val r = EncodeJob.run(spark, input, outDir,
           EncodeJob.Config(numPartitions = parts, pidUpperBound = cap,
             codecMode = sys.env.getOrElse("SPARK_GRAFT_CODEC_MODE", "auto")))
-        val gbps = r.rawBytes / 1e9 / (r.wallNanos / 1e9)
-        println(f"""{"op":"encode","pidsEncoded":${r.pidsEncoded},"pidsSkipped":${r.pidsSkipped},"rows":${r.rows},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.encBytes.toDouble / math.max(1, r.rawBytes)}%.4f,"wallSec":${r.wallNanos / 1e9}%.2f,"boundsSec":${r.boundsNanos / 1e9}%.2f,"encodeSec":${r.encodeNanos / 1e9}%.2f,"manifestSec":${r.manifestNanos / 1e9}%.2f,"gbps":$gbps%.3f}""")
+        // gbps divides THIS run's bytes by this run's wall — rows/rawBytes/
+        // encBytes are whole-manifest totals and would inflate a resumed
+        // run's throughput by every prior run's bytes
+        val gbps = r.rawBytesThisRun / 1e9 / (r.wallNanos / 1e9)
+        println(f"""{"op":"encode","pidsEncoded":${r.pidsEncoded},"pidsSkipped":${r.pidsSkipped},"rows":${r.rows},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.encBytes.toDouble / math.max(1, r.rawBytes)}%.4f,"wallSec":${r.wallNanos / 1e9}%.2f,"boundsSec":${r.boundsNanos / 1e9}%.2f,"encodeSec":${r.encodeNanos / 1e9}%.2f,"manifestSec":${r.manifestNanos / 1e9}%.2f,"rowsThisRun":${r.rowsThisRun},"rawBytesThisRun":${r.rawBytesThisRun},"gbps":$gbps%.3f}""")
         spark.stop()
 
       case "decode" :: outDir :: out :: rest =>

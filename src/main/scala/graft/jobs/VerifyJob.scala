@@ -5,35 +5,57 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Page
 
-/** Round-trip verification: equi-join decoded to source on `url` and
-  * compare every column byte-for-byte (north_rule: byte-identical `text`
-  * per `url`). One shuffle join; at real scale AQE handles skew and the
-  * join key is the table's natural clustering key. */
+/** Round-trip verification: per-url aggregate digests of source and
+  * decoded, full-outer-joined on `url` and compared column by column
+  * (north_rule: byte-identical `text` per `url`).
+  *
+  * Comparison is MULTISET-based per url: each side aggregates a row
+  * count and an order-insensitive content digest (sum of per-row
+  * xxhash64) per column. That keeps verify correct where a naive row
+  * equi-join breaks: duplicate urls (a re-crawl — the encoder handles
+  * them with a content tiebreaker; a row join would explode 2x2 cross
+  * pairs and report false mismatches) and rows whose individual columns
+  * are null (xxhash64 folds null deterministically, so presence comes
+  * from the row count, not from any column's non-nullness). One shuffle
+  * per side plus the join; at real scale AQE handles skew and the join
+  * key is the table's natural clustering key. */
 object VerifyJob {
 
   final case class Report(
       sourceRows: Long,
       decodedRows: Long,
-      joinedRows: Long,
-      textMismatches: Long,
+      joinedRows: Long, // urls present on BOTH sides
+      textMismatches: Long, // urls whose text multiset differs — etc.
       htmlMismatches: Long,
       tsMismatches: Long,
       langMismatches: Long) {
     def ok: Boolean =
-      sourceRows == decodedRows && joinedRows == sourceRows &&
+      sourceRows == decodedRows && joinedRows > 0 == (sourceRows > 0) &&
         textMismatches + htmlMismatches + tsMismatches + langMismatches == 0
   }
 
+  // hashes sum as decimal(38,0): a plain long sum overflows (and under
+  // ANSI mode throws) once a url's hash sum crosses 2^63
+  private def dig(c: String) = sum(xxhash64(col(c)).cast("decimal(38,0)"))
+
+  private def digests(ds: Dataset[Page], tag: String) =
+    ds.toDF().groupBy(col("url")).agg(
+      count(lit(1)).as(s"${tag}_n"),
+      dig("text").as(s"${tag}_text"),
+      dig("html").as(s"${tag}_html"),
+      dig("warc_ts").as(s"${tag}_ts"),
+      dig("lang").as(s"${tag}_lang"))
+
   def run(spark: SparkSession, source: Dataset[Page], decoded: Dataset[Page]): Report = {
     import spark.implicits._
-    val s = source.toDF("url", "s_ts", "s_html", "s_text", "s_lang")
-    val d = decoded.toDF("url", "d_ts", "d_html", "d_text", "d_lang")
+    val s = digests(source, "s")
+    val d = digests(decoded, "d")
     val joined = s.join(d, Seq("url"), "full_outer")
       .agg(
-        count(when($"s_text".isNotNull || $"s_lang".isNotNull, 1)).as("src"),
-        count(when($"d_text".isNotNull || $"d_lang".isNotNull, 1)).as("dec"),
-        count(when($"s_lang".isNotNull && $"d_lang".isNotNull, 1)).as("joined"),
-        count(when(!($"s_text" <=> $"d_text"), 1)).as("textMm"),
+        sum(coalesce($"s_n", lit(0L))).as("src"),
+        sum(coalesce($"d_n", lit(0L))).as("dec"),
+        count(when($"s_n".isNotNull && $"d_n".isNotNull, 1)).as("joined"),
+        count(when(!($"s_n" <=> $"d_n") || !($"s_text" <=> $"d_text"), 1)).as("textMm"),
         count(when(!($"s_html" <=> $"d_html"), 1)).as("htmlMm"),
         count(when(!($"s_ts" <=> $"d_ts"), 1)).as("tsMm"),
         count(when(!($"s_lang" <=> $"d_lang"), 1)).as("langMm"))

@@ -26,4 +26,36 @@ object TableIO {
   def write(df: DataFrame, path: String, mode: SaveMode,
             options: Map[String, String] = Map.empty): Unit =
     df.write.format(format(df.sparkSession)).options(options).mode(mode).save(path)
+
+  // Existence checks and sidecar text files (bounds.json) go through the
+  // Hadoop FileSystem API, NOT java.nio: a `hdfs://` or `s3a://` outDir
+  // makes Files.exists silently false on the driver, which would disable
+  // resume and duplicate-append chunks with no error. The Hadoop FS
+  // resolves local paths too, so local mode is unchanged.
+
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  def readTextFile(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new org.apache.hadoop.fs.Path(path))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) {
+        buf.write(chunk, 0, n)
+        n = in.read(chunk)
+      }
+      buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  def writeTextFile(spark: SparkSession, path: String, content: String): Unit = {
+    val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }

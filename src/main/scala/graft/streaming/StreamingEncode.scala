@@ -63,10 +63,8 @@ object StreamingEncode {
     // manifest rows against NEW data and silently never encode it. (The
     // legitimate replay case — crash before the offset commit — keeps the
     // checkpoint dir and is handled by the skip.)
-    val ckptExists =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/_stream_checkpoint"))
-    if (!ckptExists &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.manifestDir(outDir)))) {
+    val ckptExists = TableIO.exists(spark, s"$outDir/_stream_checkpoint")
+    if (!ckptExists && TableIO.exists(spark, EncodeJob.manifestDir(outDir))) {
       val hasBatchLineage = !TableIO.read(spark, EncodeJob.manifestDir(outDir))
         .filter(org.apache.spark.sql.functions.col("attemptId").startsWith("batch-"))
         .isEmpty
@@ -84,7 +82,7 @@ object StreamingEncode {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val tag = s"batch-$batchId"
         val replayed =
-          java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.manifestDir(outDir))) &&
+          TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
             !TableIO.read(spark, EncodeJob.manifestDir(outDir))
               .filter(org.apache.spark.sql.functions.col("attemptId") === tag)
               .isEmpty

@@ -148,6 +148,63 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(hit == Seq(uSupp))
   }
 
+  test("resume reconciles chunks whose manifest write crashed (no duplicate encode)") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-reconcile")
+    val source = WebtextGen.pages(spark, 1500L, seed = 17L).cache()
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 6))
+
+    // simulate the crash window: chunks committed, manifest commit lost
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(EncodeJob.manifestDir(outDir)))
+
+    // resume must REBUILD the manifest from chunk metadata, not re-encode
+    val r = EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 6))
+    assert(r.rowsThisRun == 0L, s"re-encoded ${r.rowsThisRun} rows after reconcile")
+    val manifest = spark.read.parquet(EncodeJob.manifestDir(outDir))
+    assert(manifest.filter($"attemptId".startsWith("reconcile-")).count() > 0)
+    assert(manifest.select(sum($"rows")).as[Long].head() == 1500L)
+    // decode yields each row exactly once and verifies
+    assert(DecodeJob.run(spark, outDir).count() == 1500L)
+    assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
+    source.unpersist()
+  }
+
+  test("verify tolerates duplicate urls (re-crawl) and catches real diffs") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    def pg(url: String, text: String) =
+      graft.model.Page(url, ts, text.getBytes("UTF-8"), text, "en")
+    // same url twice with DIFFERENT content — a correct round-trip must
+    // verify ok (a naive row equi-join would explode 2x2 and fail)
+    val src = spark.createDataset(Seq(pg("u1", "alpha"), pg("u1", "beta"), pg("u2", "gamma")))
+    assert(VerifyJob.run(spark, src, src).ok)
+    // and a REAL difference under a duplicate url is still caught
+    val bad = spark.createDataset(Seq(pg("u1", "alpha"), pg("u1", "CHANGED"), pg("u2", "gamma")))
+    assert(!VerifyJob.run(spark, src, bad).ok)
+    // null columns don't masquerade as absent rows
+    val withNull = spark.createDataset(Seq(pg("u3", "x").copy(lang = null)))
+    assert(VerifyJob.run(spark, withNull, withNull).ok)
+  }
+
+  test("an empty first run never pins empty bounds for later runs") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-emptypin")
+    EncodeJob.run(spark, spark.emptyDataset[graft.model.Page], outDir,
+      EncodeJob.Config(numPartitions = 8))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(EncodeJob.boundsPath(outDir))),
+      "empty run pinned bounds.json — later runs would collapse to pid 0")
+    // a later real run into the same dir still spreads across pids
+    val source = WebtextGen.pages(spark, 2000L, seed = 29L)
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 8))
+    val pids = spark.read.parquet(EncodeJob.manifestDir(outDir))
+      .select($"pid").distinct().count()
+    assert(pids >= 4, s"only $pids pids after the empty first run")
+  }
+
   test("suggestPartitions follows the 128 MiB/pid rule with a 2x-cores floor") {
     assert(EncodeJob.suggestPartitions(0L, 32) == 64)
     assert(EncodeJob.suggestPartitions(1L << 30, 4) == 8) // 1 GiB, small cluster: floor wins
