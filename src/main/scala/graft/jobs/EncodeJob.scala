@@ -151,12 +151,23 @@ object EncodeJob {
   private val Utf8Ordering: Ordering[String] =
     (a: String, b: String) => utf8Compare(a, b)
 
+  /** One merge group per ~this many scan partitions: the driver then
+    * holds O(scanPartitions / GroupSpan) merged reservoirs instead of one
+    * reservoir per scan partition — at 100 TB (~800k scan partitions)
+    * the naive per-partition collect is tens of GB of sampled urls on
+    * the driver; grouped, it is a few hundred MB. */
+  private val BoundsGroupSpan = 1024
+
   /** Compute (or reload pinned) url-range cut points in ONE pass: every
-    * input partition returns its row count plus a fixed-size uniform
-    * reservoir of urls, and the driver merges them as a weighted quantile
-    * sketch. This fuses the old count() + sample() pair — at 100 TB a
-    * spare full pass over the table is a real cost, and the bounds only
-    * steer balance, so sketch precision is ample. */
+    * input partition keeps a fixed-size uniform reservoir of urls; a
+    * deterministic second level (groups of [[BoundsGroupSpan]] scan
+    * partitions, keyed by partitionId, inputs processed in partId order
+    * with a group-seeded rng) weighted-merges reservoirs EXECUTOR-side
+    * (A-Res weighted reservoir sampling), and only the per-group merges
+    * reach the driver's weighted quantile sketch. This fuses the old
+    * count() + sample() pair — at 100 TB a spare full pass over the
+    * table is a real cost, and the bounds only steer balance, so sketch
+    * precision is ample. */
   private def loadOrComputeBounds(
       spark: SparkSession, input: Dataset[Page], outDir: String, cfg: Config): Array[String] = {
     if (TableIO.exists(spark, boundsPath(outDir))) {
@@ -164,9 +175,14 @@ object EncodeJob {
     } else {
       import spark.implicits._
       val k = math.max(64, cfg.seedSampleSize / 16) // per-partition reservoir
+      // merged-per-group reservoir: 4096 samples per 1024-partition group
+      // keeps total samples ~4x the scan partition count, which tracks
+      // numPartitions (both derive from input bytes) with margin
+      val mergedK = math.max(k, 4096)
       val perPart: Array[(Long, Array[String])] = input.select($"url").as[String]
         .mapPartitions { it =>
-          val rnd = new java.util.Random(42L + org.apache.spark.TaskContext.getPartitionId())
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val rnd = new java.util.Random(42L + pid)
           val res = new Array[String](k)
           var n = 0L
           while (it.hasNext) {
@@ -178,7 +194,33 @@ object EncodeJob {
             }
             n += 1
           }
-          Iterator.single((n, java.util.Arrays.copyOf(res, math.min(n, k.toLong).toInt)))
+          Iterator.single((pid / BoundsGroupSpan, pid, n,
+            java.util.Arrays.copyOf(res, math.min(n, k.toLong).toInt)))
+        }
+        .groupByKey(_._1)
+        .mapGroups { (group, members) =>
+          // deterministic: members sorted by partId, rng seeded by group
+          val sorted = members.toArray.sortBy(_._2)
+          val total = sorted.map(_._3).sum
+          val rnd = new java.util.Random(7L * (group + 1))
+          // A-Res weighted reservoir: each sampled url stands for
+          // n_i/|sample_i| rows; keep the mergedK highest rand^(1/w) keys
+          val heap = new java.util.PriorityQueue[(Double, String)](
+            math.max(1, mergedK), Ordering.by((e: (Double, String)) => e._1))
+          sorted.foreach { case (_, _, n, arr) =>
+            if (arr.nonEmpty) {
+              val w = n.toDouble / arr.length
+              arr.foreach { u =>
+                val key = math.pow(rnd.nextDouble(), 1.0 / w)
+                if (heap.size < mergedK) heap.add((key, u))
+                else if (heap.peek()._1 < key) { heap.poll(); heap.add((key, u)) }
+              }
+            }
+          }
+          val merged = new Array[String](heap.size)
+          var i = merged.length - 1
+          while (i >= 0) { merged(i) = heap.poll()._2; i -= 1 }
+          (total, merged)
         }
         .collect()
       // each sampled url stands for count_i/|sample_i| rows of its partition
