@@ -300,42 +300,9 @@ object EncodeJob {
       else Set.empty
 
     // Reconcile the crash window between the chunk commit and the manifest
-    // commit: a run that died there left COMPLETE chunk data (the parquet
-    // job commit is atomic) with no manifest row, so a naive resume would
-    // re-encode those pids and append duplicate chunks. Orphan pids are
-    // detected with one leaf-pruned metadata scan and their manifest rows
-    // are rebuilt from chunk metadata (O(#orphan chunks) driver rows, no
-    // payload bytes) under a "reconcile-" attemptId.
-    if (cfg.resume && TableIO.exists(spark, chunksDir(outDir))) {
-      val chunkScan = spark.read
-        .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
-        .format(TableIO.format(spark)).load(chunksDir(outDir))
-      val orphans = chunkScan.select($"pid").distinct().as[Int].collect().toSet -- completed
-      if (orphans.nonEmpty) {
-        val metaRows = chunkScan
-          .filter($"pid".isin(orphans.toSeq: _*))
-          .select($"pid", $"rows", $"urlMin", $"urlMax", $"rawBytes", $"encBytes",
-            $"flBaselineBytes", $"encodeNanos", $"textCrc32",
-            $"url.codec", $"warc_ts.codec", $"html.codec", $"text.codec", $"lang.codec")
-          .collect()
-        val tag = "reconcile-" + java.util.UUID.randomUUID().toString
-        val now = System.currentTimeMillis()
-        def codecsOf(cs: Array[org.apache.spark.sql.Row], i: Int): String =
-          cs.map(_.getString(i)).distinct.sorted.mkString("|")
-        val rebuilt = metaRows.groupBy(_.getInt(0)).map { case (pid, cs) =>
-          PartitionManifest(pid, cs.length.toLong, cs.map(_.getLong(1)).sum,
-            cs.map(_.getString(2)).min(Utf8Ordering), cs.map(_.getString(3)).max(Utf8Ordering),
-            cs.map(_.getLong(4)).sum, cs.map(_.getLong(5)).sum, cs.map(_.getLong(6)).sum,
-            cs.map(_.getLong(7)).sum, cs.map(_.getLong(8)).foldLeft(0L)(_ ^ _),
-            Map("url" -> codecsOf(cs, 9), "warc_ts" -> codecsOf(cs, 10),
-              "html" -> codecsOf(cs, 11), "text" -> codecsOf(cs, 12),
-              "lang" -> codecsOf(cs, 13)),
-            tag, now)
-        }.toSeq.sortBy(_.pid)
-        TableIO.write(spark.createDataset(rebuilt).toDF(), manifestDir(outDir), SaveMode.Append)
-        completed = completed ++ orphans
-      }
-    }
+    // commit (see [[reconcileOrphans]]) so resume never re-encodes pids
+    // whose complete chunk data is already on disk.
+    if (cfg.resume) completed = completed ++ reconcileOrphans(spark, outDir)
     val completedBc = spark.sparkContext.broadcast(completed)
 
     val pidCap = cfg.pidUpperBound.getOrElse(Int.MaxValue)
@@ -353,6 +320,10 @@ object EncodeJob {
     val targetBytes = cfg.targetBlockBytes
     val maxRows = cfg.maxBlockRows
     val flOnly = cfg.codecMode == "fl"
+    // resolved BEFORE the job: every chunk carries the tag its manifest
+    // row will carry, so a crash between the two commits is reconcilable
+    // under the original attempt identity
+    val attemptId = cfg.attemptId.getOrElse(java.util.UUID.randomUUID().toString)
     val summaryAcc = spark.sparkContext.collectionAccumulator[PidSummary]("graft.pidSummaries")
     // Hash repartition on the (already range-derived) pid: pids are dense
     // ints in [0, numPartitions], so hashing spreads them ~1 per task
@@ -371,7 +342,7 @@ object EncodeJob {
       .sortWithinPartitions($"pid", $"url", xxhash64($"warc_ts", $"text", $"html"))
       .as[PidPage]
       .mapPartitions { it =>
-        summarizing(encodePartition(it, targetBytes, maxRows, flOnly), summaryAcc)
+        summarizing(encodePartition(it, targetBytes, maxRows, flOnly, attemptId), summaryAcc)
       }
 
     // Chunk payloads are ALREADY compressed by the codec layer, so a file-
@@ -394,7 +365,6 @@ object EncodeJob {
     // byte-equal on (blocks, rows, encBytes, textCrc32Xor) so a REAL
     // divergence (two attempts that encoded different data) fails loudly
     // instead of being masked by an arbitrary pick.
-    val attemptId = cfg.attemptId.getOrElse(java.util.UUID.randomUUID().toString)
     val finishedAt = System.currentTimeMillis()
     val manifestRows = {
       import scala.jdk.CollectionConverters._
@@ -444,6 +414,67 @@ object EncodeJob {
   private def utf8Compare(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
+  /** Reconcile the crash window between a chunk commit and its manifest
+    * commit: a run that died there left COMPLETE chunk data (the parquet
+    * job commit is atomic) with no manifest rows, so a naive rerun would
+    * re-encode those pids and append duplicate chunks. Orphan pids are
+    * detected with one leaf-pruned metadata scan and their manifest rows
+    * are rebuilt from chunk metadata (O(#orphan chunks) driver rows, no
+    * payload bytes) under the chunks' ORIGINAL attemptId — which is what
+    * lets the streaming replay-skip recognize a crashed "batch-N" as
+    * committed. Returns the reconciled pid set. Safe to call any time:
+    * it only completes lineage for data already on disk. */
+  def reconcileOrphans(spark: SparkSession, outDir: String): Set[Int] = {
+    import spark.implicits._
+    if (!TableIO.exists(spark, chunksDir(outDir))) return Set.empty
+    // orphan detection is (pid, attemptId)-granular: under streaming a pid
+    // legitimately holds manifest rows from earlier batches while a later
+    // crashed batch's chunks are manifest-less. Legacy chunks written
+    // before chunks carried attemptId (null tag) fall back to pid-level.
+    val manifestPairs: Set[(Int, String)] =
+      if (!TableIO.exists(spark, manifestDir(outDir))) Set.empty
+      else TableIO.read(spark, manifestDir(outDir))
+        .select($"pid", $"attemptId").distinct().as[(Int, String)].collect().toSet
+    val manifestPids = manifestPairs.map(_._1)
+    val chunkScan = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+      .format(TableIO.format(spark)).load(chunksDir(outDir))
+    val orphanPairs = chunkScan.select($"pid", $"attemptId").distinct()
+      .as[(Int, String)].collect()
+      .filter { case (pid, att) =>
+        if (att == null) !manifestPids.contains(pid)
+        else !manifestPairs.contains((pid, att))
+      }.toSet
+    if (orphanPairs.isEmpty) return Set.empty
+    val orphanPids = orphanPairs.map(_._1)
+    val fallbackTag = "reconcile-" + java.util.UUID.randomUUID().toString
+    val metaRows = chunkScan
+      .filter($"pid".isin(orphanPids.toSeq: _*))
+      .select($"pid", $"rows", $"urlMin", $"urlMax", $"rawBytes", $"encBytes",
+        $"flBaselineBytes", $"encodeNanos", $"textCrc32",
+        $"url.codec", $"warc_ts.codec", $"html.codec", $"text.codec", $"lang.codec",
+        $"attemptId")
+      .collect()
+      .filter(r => orphanPairs.contains((r.getInt(0), r.getString(14))))
+    val now = System.currentTimeMillis()
+    def codecsOf(cs: Array[org.apache.spark.sql.Row], i: Int): String =
+      cs.map(_.getString(i)).distinct.sorted.mkString("|")
+    val rebuilt = metaRows
+      .groupBy(r => (r.getInt(0), Option(r.getString(14)).getOrElse(fallbackTag)))
+      .map { case ((pid, tag), cs) =>
+        PartitionManifest(pid, cs.length.toLong, cs.map(_.getLong(1)).sum,
+          cs.map(_.getString(2)).min(Utf8Ordering), cs.map(_.getString(3)).max(Utf8Ordering),
+          cs.map(_.getLong(4)).sum, cs.map(_.getLong(5)).sum, cs.map(_.getLong(6)).sum,
+          cs.map(_.getLong(7)).sum, cs.map(_.getLong(8)).foldLeft(0L)(_ ^ _),
+          Map("url" -> codecsOf(cs, 9), "warc_ts" -> codecsOf(cs, 10),
+            "html" -> codecsOf(cs, 11), "text" -> codecsOf(cs, 12),
+            "lang" -> codecsOf(cs, 13)),
+          tag, now)
+      }.toSeq.sortBy(m => (m.pid, m.attemptId))
+    TableIO.write(spark.createDataset(rebuilt).toDF(), manifestDir(outDir), SaveMode.Append)
+    orphanPids
+  }
+
   /** Pass-through iterator that folds every produced chunk into per-pid
     * summaries and flushes them to the accumulator exactly once, when the
     * kernel is exhausted (i.e. when the task has produced all its rows). */
@@ -486,7 +517,7 @@ object EncodeJob {
     * (no Spark types inside) — the JVM analog of the reference's
     * cpuCompress kernel, applied per column. */
   def encodePartition(it: Iterator[PidPage], targetBlockBytes: Long, maxBlockRows: Int,
-                      flOnly: Boolean = false): Iterator[EncodedChunk] = {
+                      flOnly: Boolean = false, attemptId: String = null): Iterator[EncodedChunk] = {
     new Iterator[EncodedChunk] {
       private var pending: PidPage = null
       private var blockIdxByPid = scala.collection.mutable.Map.empty[Int, Int]
@@ -507,13 +538,13 @@ object EncodeJob {
         }
         val idx = blockIdxByPid.getOrElse(pid, 0)
         blockIdxByPid(pid) = idx + 1
-        encodeChunk(pid, idx, buf.toArray, flOnly)
+        encodeChunk(pid, idx, buf.toArray, flOnly, attemptId)
       }
     }
   }
 
   def encodeChunk(pid: Int, blockIdx: Int, rows: Array[PidPage],
-                  flOnly: Boolean = false): EncodedChunk = {
+                  flOnly: Boolean = false, attemptId: String = null): EncodedChunk = {
     val t0 = System.nanoTime()
     val urls = rows.map(_.url.getBytes(UTF_8))
     val texts = rows.map(_.text.getBytes(UTF_8))
@@ -541,6 +572,7 @@ object EncodeJob {
       pid, blockIdx, rows.length.toLong,
       rows.head.url, rows.last.url,
       cols.map(_.rawBytes).sum, cols.map(_.encBytes).sum, cols.map(_.flBaselineBytes).sum,
-      System.nanoTime() - t0, crc.getValue, colUrl, colTs, colHtml, colText, colLang)
+      System.nanoTime() - t0, crc.getValue, colUrl, colTs, colHtml, colText, colLang,
+      attemptId)
   }
 }

@@ -46,7 +46,15 @@ final case class EncodedChunk(
     warc_ts: EncodedColumn,
     html: EncodedColumn,
     text: EncodedColumn,
-    lang: EncodedColumn) {
+    lang: EncodedColumn,
+    /** Lineage tag of the run that wrote this chunk — the same tag its
+      * manifest row carries. Lets a crashed run's orphan chunks (chunks
+      * committed, manifest commit lost) be reconciled under their
+      * ORIGINAL attempt identity, which is what makes the streaming
+      * replay-skip exactly-once (a replayed batch finds its "batch-N"
+      * tag even when only the chunks survived). Null when read from a
+      * pre-round-3 table; reconcile then substitutes a fresh tag. */
+    attemptId: String = null) {
   def cols: Seq[EncodedColumn] = Seq(url, warc_ts, html, text, lang)
 }
 

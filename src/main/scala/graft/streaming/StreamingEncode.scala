@@ -31,17 +31,18 @@ import graft.sources.TableIO
   *  - `resume = false` inside foreachBatch: completed-pid skipping is a
   *    batch-resume concept; a stream legitimately appends NEW blocks to
   *    already-seen pids;
-  *  - replay safety (the standard foreachBatch exactly-once pattern): a
-  *    crash between a micro-batch's manifest commit and the streaming
-  *    checkpoint offset commit makes the source re-deliver that batch on
-  *    restart — foreachBatch then finds its "batch-<id>" attemptId
-  *    already in the manifest and SKIPS it, so no duplicate blocks are
-  *    appended. The residual window is a crash between the chunk write
-  *    and the manifest write *inside* one batch (chunks committed,
-  *    manifest row not): a replay then re-appends that batch's chunks.
-  *    That window is the duration of one O(#pids) manifest write rather
-  *    than the whole batch, and the lineage makes it auditable (chunk
-  *    blocks without a matching manifest attempt).
+  *  - replay safety (the standard foreachBatch exactly-once pattern,
+  *    completed by chunk-level lineage): a crash between a micro-batch's
+  *    manifest commit and the streaming checkpoint offset commit makes
+  *    the source re-deliver that batch on restart — foreachBatch then
+  *    finds its "batch-<id>" attemptId already in the manifest and SKIPS
+  *    it. A crash in the NARROWER window (chunks committed, manifest
+  *    commit lost) is covered too: chunks carry their attemptId, so
+  *    [[EncodeJob.reconcileOrphans]] — run at the start of every batch —
+  *    rebuilds the missing manifest rows under the original "batch-<id>"
+  *    tag, and the replay check then recognizes the batch as committed.
+  *    No crash point between the chunk commit and the offset commit
+  *    duplicates data.
   */
 object StreamingEncode {
 
@@ -81,6 +82,13 @@ object StreamingEncode {
       .option("checkpointLocation", s"$outDir/_stream_checkpoint")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val tag = s"batch-$batchId"
+        // close the LAST exactly-once window first: a crash between a
+        // batch's chunk commit and its manifest commit left complete
+        // chunks tagged "batch-N" with no manifest row — reconcile
+        // rebuilds those manifest rows under the chunks' own tag, so the
+        // replay check below recognizes the batch as committed instead
+        // of re-encoding it into duplicates
+        EncodeJob.reconcileOrphans(spark, outDir)
         val replayed =
           TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
             !TableIO.read(spark, EncodeJob.manifestDir(outDir))

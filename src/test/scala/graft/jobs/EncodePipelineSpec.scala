@@ -165,7 +165,13 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     val r = EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 6))
     assert(r.rowsThisRun == 0L, s"re-encoded ${r.rowsThisRun} rows after reconcile")
     val manifest = spark.read.parquet(EncodeJob.manifestDir(outDir))
-    assert(manifest.filter($"attemptId".startsWith("reconcile-")).count() > 0)
+    // rebuilt rows carry the chunks' ORIGINAL attempt tags (chunks are
+    // attemptId-stamped), so lineage survives the manifest loss intact
+    val chunkTags = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .select($"attemptId").distinct().as[String].collect().toSet
+    val manifestTags = manifest.select($"attemptId").distinct().as[String].collect().toSet
+    assert(manifestTags == chunkTags,
+      s"manifest tags $manifestTags != original chunk tags $chunkTags")
     assert(manifest.select(sum($"rows")).as[Long].head() == 1500L)
     // decode yields each row exactly once and verifies
     assert(DecodeJob.run(spark, outDir).count() == 1500L)

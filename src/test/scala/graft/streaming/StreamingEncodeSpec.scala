@@ -76,6 +76,35 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(EncodeJob.manifestDir(outDir))
       .select($"attemptId").distinct().count() == 2L)
 
+    // --- the NARROWER crash window: batch-1's chunks committed but its
+    // manifest commit lost. The replayed batch must be reconciled from
+    // chunk-level lineage (chunks carry "batch-1") and then skipped —
+    // not re-encoded into duplicates.
+    val mPath = EncodeJob.manifestDir(outDir)
+    val mdf = spark.read.parquet(mPath)
+    val mSchema = mdf.schema
+    val keptRows = mdf.filter($"attemptId" =!= "batch-1").collect().toSeq
+    assert(keptRows.nonEmpty && keptRows.size < mdf.count())
+    def rmrfFile(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrfFile)
+      f.delete()
+    }
+    rmrfFile(new java.io.File(mPath))
+    spark.createDataFrame(spark.sparkContext.parallelize(keptRows), mSchema)
+      .write.parquet(mPath)
+    val commits2 = new java.io.File(s"$outDir/_stream_checkpoint/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    java.nio.file.Files.delete(commits2.last.toPath)
+    java.nio.file.Files.deleteIfExists(
+      commits2.last.toPath.resolveSibling(s".${commits2.last.getName}.crc"))
+    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+    assert(DecodeJob.run(spark, outDir).count() == 600L,
+      "chunk-committed/manifest-lost batch was re-encoded into duplicates")
+    val reconciled = spark.read.parquet(mPath)
+    assert(reconciled.filter($"attemptId" === "batch-1").count() > 0,
+      "reconcile did not rebuild the lost batch-1 manifest rows under its own tag")
+    assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
+
     // --- whole-checkpoint LOSS is a different failure: batch ids would
     // renumber from 0 and new data could be skipped as replays — the
     // stream must refuse to start, not silently drop data
