@@ -58,8 +58,12 @@ object ScalingLevel {
     def cpuStat(): (Long, Long) = {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
+        // fields after the "cpu" label: user nice system idle iowait irq
+        // softirq steal guest guest_nice — steal is index 7. guest/
+        // guest_nice are excluded from the total: guest time is already
+        // counted inside user/nice, so including it would double-count.
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (f.sum, if (f.length > 8) f(8) else 0L)
+        (f.take(8).sum, if (f.length > 7) f(7) else 0L)
       } finally src.close()
     }
 

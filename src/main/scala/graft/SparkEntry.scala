@@ -383,14 +383,18 @@ object SparkEntry {
         |WHERE length(tk) > 0
         |GROUP BY tk ORDER BY cnt DESC, tk LIMIT 100""".stripMargin,
     "q_seq_pack" ->
-      """WITH x AS (
-        |  SELECT source, doc_id, n_chars,
-        |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      s"""WITH x AS (
+        |  SELECT source,
+        |         CAST((list_sum(list_transform(range(1, 3), i ->
+        |            CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (2 - i)))))
+        |           % ${graft.ops.Queries.SeqPackShards} AS BIGINT) AS shard,
+        |         doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source, shard ORDER BY doc_id
         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS start_off
         |  FROM documents)
-        |SELECT source, CAST(floor(start_off / 16384) AS BIGINT) AS bin,
+        |SELECT source, shard, CAST(floor(start_off / 16384) AS BIGINT) AS bin,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM x GROUP BY source, bin""".stripMargin,
+        |FROM x GROUP BY source, shard, bin""".stripMargin,
     "q_contamination" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 8) AS s

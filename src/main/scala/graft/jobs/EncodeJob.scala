@@ -79,9 +79,12 @@ object EncodeJob {
       /** Pin bounds.json only when the bounds sample saw at least this
         * many rows (0 = always pin). Guards streaming front ends: a tiny
         * first micro-batch would otherwise pin unrepresentative url
-        * bounds forever. Unpinned runs still use the computed bounds —
-        * deterministically (seeded reservoir), so a resume over identical
-        * input re-derives identical pids. */
+        * bounds forever. The guard only applies when `resume = false`
+        * (the streaming path): a resumable batch run always pins computed
+        * bounds, because re-deriving them after a crash is only identical
+        * under an identical input scan partitioning — file-split changes
+        * between runs would silently shift pid assignment against the
+        * completed-pid set. */
       boundsPinMinRows: Long = 0L,
       /** Manifest lineage tag; None = fresh random UUID. Streaming sets
         * a deterministic per-micro-batch tag ("batch-<id>") so a replayed
@@ -95,7 +98,19 @@ object EncodeJob {
       /** "auto" = stats-driven selector (the engine); "fl" = FL bit-pack
         * only, the exact work of the reference CPU path, for
         * apples-to-apples throughput comparison. */
-      codecMode: String = "auto")
+      codecMode: String = "auto",
+      /** How manifest rows are derived after the chunk write.
+        * "acc" (default): from the kernel's per-pid accumulator summaries
+        * — zero extra jobs, but the driver holds O(#pids-this-run) state
+        * (~0.5-1 GB at 800k pids; bounded per wave when `pidUpperBound`
+        * waves are used).
+        * "scan": a distributed aggregation over the chunk table's
+        * METADATA columns (leaf-pruned — payload bytes never read),
+        * written straight to the manifest with NO driver materialization
+        * — O(1) driver state regardless of #pids; costs one extra small
+        * job. Use for single-pass encodes too large for the accumulator.
+        * Both modes produce identical manifests (spec-asserted). */
+      manifestMode: String = "acc")
 
   final case class Result(
       pidsEncoded: Long,
@@ -126,6 +141,15 @@ object EncodeJob {
   def chunksDir(outDir: String) = s"$outDir/chunks"
   def manifestDir(outDir: String) = s"$outDir/manifest"
   def boundsPath(outDir: String) = s"$outDir/bounds.json"
+
+  /** Per-attempt marker files: `begin-<id>` before the chunk write,
+    * `chunks-<id>` after the chunk job commits, both deleted once the
+    * attempt's manifest rows are committed. An attempt with NO markers is
+    * therefore fully committed; any surviving marker names exactly the
+    * attempts a crash may have left half-done — so the per-micro-batch
+    * orphan reconcile is one directory listing in the steady state,
+    * independent of how large the chunk table has grown. */
+  def attemptsDir(outDir: String) = s"$outDir/_attempts"
 
   // ---------------------------------------------------------------- bounds
 
@@ -244,8 +268,14 @@ object EncodeJob {
       val sampledRows = perPart.map(_._1).sum
       // never pin EMPTY bounds: an empty/tiny first run would otherwise
       // freeze "everything is pid 0" for all later (larger) runs into the
-      // same outDir; empty bounds are trivially re-derivable anyway
-      if (sampledRows >= cfg.boundsPinMinRows && bounds.nonEmpty)
+      // same outDir; empty bounds are trivially re-derivable anyway.
+      // The min-rows pin guard applies to STREAMING use only (resume =
+      // false inside foreachBatch): a resumable batch run must always pin,
+      // because "unpinned runs deterministically re-derive identical
+      // bounds" holds only under an identical input scan partitioning —
+      // a resume after a crash with different file splits would otherwise
+      // assign pids inconsistent with the completed-pid set.
+      if ((cfg.resume || sampledRows >= cfg.boundsPinMinRows) && bounds.nonEmpty)
         TableIO.writeTextFile(spark, boundsPath(outDir),
           bounds.map(jsonQuote).mkString("[", ",", "]"))
       bounds
@@ -292,7 +322,6 @@ object EncodeJob {
 
     val bounds = loadOrComputeBounds(spark, input, outDir, cfg)
     val tBounds = System.nanoTime()
-    val boundsBc = spark.sparkContext.broadcast(bounds)
 
     var completed: Set[Int] =
       if (cfg.resume && TableIO.exists(spark, manifestDir(outDir)))
@@ -324,6 +353,12 @@ object EncodeJob {
     // row will carry, so a crash between the two commits is reconcilable
     // under the original attempt identity
     val attemptId = cfg.attemptId.getOrElse(java.util.UUID.randomUUID().toString)
+    val useScanManifest = cfg.manifestMode match {
+      case "scan" => true
+      case "acc"  => false
+      case other  => throw new IllegalArgumentException(
+        s"manifestMode must be 'acc' or 'scan', got '$other'")
+    }
     val summaryAcc = spark.sparkContext.collectionAccumulator[PidSummary]("graft.pidSummaries")
     // Hash repartition on the (already range-derived) pid: pids are dense
     // ints in [0, numPartitions], so hashing spreads them ~1 per task
@@ -342,7 +377,8 @@ object EncodeJob {
       .sortWithinPartitions($"pid", $"url", xxhash64($"warc_ts", $"text", $"html"))
       .as[PidPage]
       .mapPartitions { it =>
-        summarizing(encodePartition(it, targetBytes, maxRows, flOnly, attemptId), summaryAcc)
+        val inner = encodePartition(it, targetBytes, maxRows, flOnly, attemptId)
+        if (useScanManifest) inner else summarizing(inner, summaryAcc)
       }
 
     // Chunk payloads are ALREADY compressed by the codec layer, so a file-
@@ -352,8 +388,14 @@ object EncodeJob {
     // tables whose payloads are mostly plain.
     val chunkCompression = spark.conf.getOption("spark.graft.chunks.compression")
       .getOrElse("uncompressed")
+    // attempt lineage markers (see [[attemptsDir]]): begin- before the
+    // chunk job, chunks- after its commit, both removed after the manifest
+    // commit — every crash window identifies itself by which markers
+    // survive, so reconcile never has to scan for it
+    TableIO.touch(spark, s"${attemptsDir(outDir)}/begin-$attemptId")
     TableIO.write(chunks.toDF(), chunksDir(outDir), SaveMode.Append,
       Map("compression" -> chunkCompression))
+    TableIO.touch(spark, s"${attemptsDir(outDir)}/chunks-$attemptId")
     val tEncode = System.nanoTime()
 
     // manifest straight from the kernel summaries (O(#pids), no re-read of
@@ -366,26 +408,61 @@ object EncodeJob {
     // divergence (two attempts that encoded different data) fails loudly
     // instead of being masked by an arbitrary pick.
     val finishedAt = System.currentTimeMillis()
-    val manifestRows = {
-      import scala.jdk.CollectionConverters._
-      summaryAcc.value.asScala
-        .groupBy(_.pid).map { case (pid, twins) =>
-          val agree = twins.forall(t =>
-            t.blocks == twins.head.blocks && t.rows == twins.head.rows &&
-              t.encBytes == twins.head.encBytes && t.textCrc32Xor == twins.head.textCrc32Xor)
-          require(agree, s"pid $pid: twin task attempts produced DIFFERENT summaries " +
-            s"(${twins.map(t => (t.blocks, t.rows, t.encBytes)).toSet}) — non-deterministic encode?")
-          twins.minBy(_.encodeNanos) // deterministic pick among agreeing twins
-        }
-        .toSeq.sortBy(_.pid)
-        .map(s => PartitionManifest(
-          s.pid, s.blocks, s.rows, s.urlMin, s.urlMax, s.rawBytes, s.encBytes,
-          s.flBaselineBytes, s.encodeNanos, s.textCrc32Xor,
-          s.codecs.map { case (c, set) => c -> set.toSeq.sorted.mkString("|") },
-          attemptId, finishedAt))
+    // (rows, rawBytes, encBytes) encoded by THIS invocation, for Result
+    var thisRun = (0L, 0L, 0L)
+    if (useScanManifest) {
+      // distributed derivation: aggregate this attempt's chunk METADATA
+      // columns (leaf-pruned scan — payload bytes never read) straight
+      // into manifest rows and write them as a DataFrame; nothing O(#pids)
+      // ever reaches the driver. Twin-attempt divergence can't arise here:
+      // the aggregation reads only the chunk files the output committer
+      // actually committed.
+      val cur = chunkMetaScan(spark, outDir).filter($"attemptId" === attemptId)
+      // pidUpperBound waves may share an attemptId: skip pids this attempt
+      // already committed in an earlier wave
+      val rowsDf = {
+        val fresh = manifestRowsFromChunks(spark, cur, finishedAt)
+        if (!TableIO.exists(spark, manifestDir(outDir))) fresh
+        else fresh.join(
+          TableIO.read(spark, manifestDir(outDir))
+            .filter($"attemptId" === attemptId).select($"pid"),
+          Seq("pid"), "left_anti")
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val agg = rowsDf.agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"))
+        .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+      // guard the empty case: appending zero rows would still create the
+      // manifest dir, breaking exists()-based guards downstream
+      if (agg._1 > 0L)
+        TableIO.write(rowsDf, manifestDir(outDir), SaveMode.Append)
+      rowsDf.unpersist()
+      thisRun = (agg._2.getOrElse(0L), agg._3.getOrElse(0L), agg._4.getOrElse(0L))
+    } else {
+      val manifestRows = {
+        import scala.jdk.CollectionConverters._
+        summaryAcc.value.asScala
+          .groupBy(_.pid).map { case (pid, twins) =>
+            val agree = twins.forall(t =>
+              t.blocks == twins.head.blocks && t.rows == twins.head.rows &&
+                t.encBytes == twins.head.encBytes && t.textCrc32Xor == twins.head.textCrc32Xor)
+            require(agree, s"pid $pid: twin task attempts produced DIFFERENT summaries " +
+              s"(${twins.map(t => (t.blocks, t.rows, t.encBytes)).toSet}) — non-deterministic encode?")
+            twins.minBy(_.encodeNanos) // deterministic pick among agreeing twins
+          }
+          .toSeq.sortBy(_.pid)
+          .map(s => PartitionManifest(
+            s.pid, s.blocks, s.rows, s.urlMin, s.urlMax, s.rawBytes, s.encBytes,
+            s.flBaselineBytes, s.encodeNanos, s.textCrc32Xor,
+            s.codecs.map { case (c, set) => c -> set.toSeq.sorted.mkString("|") },
+            attemptId, finishedAt))
+      }
+      if (manifestRows.nonEmpty)
+        TableIO.write(spark.createDataset(manifestRows).toDF(), manifestDir(outDir), SaveMode.Append)
+      thisRun = (manifestRows.map(_.rows).sum,
+        manifestRows.map(_.rawBytes).sum, manifestRows.map(_.encBytes).sum)
     }
-    if (manifestRows.nonEmpty)
-      TableIO.write(spark.createDataset(manifestRows).toDF(), manifestDir(outDir), SaveMode.Append)
+    // attempt fully committed: clear its markers (see [[attemptsDir]])
+    TableIO.delete(spark, s"${attemptsDir(outDir)}/begin-$attemptId")
+    TableIO.delete(spark, s"${attemptsDir(outDir)}/chunks-$attemptId")
 
     // empty input with no prior runs leaves no manifest at all — report
     // zeros instead of failing the read
@@ -406,45 +483,167 @@ object EncodeJob {
       boundsNanos = tBounds - t0,
       encodeNanos = tEncode - tBounds,
       manifestNanos = System.nanoTime() - tEncode,
-      rowsThisRun = manifestRows.map(_.rows).sum,
-      rawBytesThisRun = manifestRows.map(_.rawBytes).sum,
-      encBytesThisRun = manifestRows.map(_.encBytes).sum)
+      rowsThisRun = thisRun._1,
+      rawBytesThisRun = thisRun._2,
+      encBytesThisRun = thisRun._3)
   }
 
   private def utf8Compare(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
-  /** Reconcile the crash window between a chunk commit and its manifest
-    * commit: a run that died there left COMPLETE chunk data (the parquet
-    * job commit is atomic) with no manifest rows, so a naive rerun would
-    * re-encode those pids and append duplicate chunks. Orphan pids are
-    * detected with one leaf-pruned metadata scan and their manifest rows
-    * are rebuilt from chunk metadata (O(#orphan chunks) driver rows, no
-    * payload bytes) under the chunks' ORIGINAL attemptId — which is what
-    * lets the streaming replay-skip recognize a crashed "batch-N" as
-    * committed. Returns the reconciled pid set. Safe to call any time:
-    * it only completes lineage for data already on disk. */
-  def reconcileOrphans(spark: SparkSession, outDir: String): Set[Int] = {
-    import spark.implicits._
-    if (!TableIO.exists(spark, chunksDir(outDir))) return Set.empty
-    // orphan detection is (pid, attemptId)-granular: under streaming a pid
-    // legitimately holds manifest rows from earlier batches while a later
-    // crashed batch's chunks are manifest-less. Legacy chunks written
-    // before chunks carried attemptId (null tag) fall back to pid-level.
-    val manifestPairs: Set[(Int, String)] =
-      if (!TableIO.exists(spark, manifestDir(outDir))) Set.empty
-      else TableIO.read(spark, manifestDir(outDir))
-        .select($"pid", $"attemptId").distinct().as[(Int, String)].collect().toSet
-    val manifestPids = manifestPairs.map(_._1)
-    val chunkScan = spark.read
+  /** Explicit-schema METADATA scan of the chunk table: only the columns a
+    * caller selects are ever read (each encoded column is a top-level
+    * struct leaf), so payload bytes stay on disk. */
+  private def chunkMetaScan(spark: SparkSession, outDir: String) =
+    spark.read
       .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
       .format(TableIO.format(spark)).load(chunksDir(outDir))
-    val orphanPairs = chunkScan.select($"pid", $"attemptId").distinct()
-      .as[(Int, String)].collect()
-      .filter { case (pid, att) =>
-        if (att == null) !manifestPids.contains(pid)
-        else !manifestPairs.contains((pid, att))
-      }.toSet
+
+  /** Distributed manifest derivation: one manifest row per
+    * (pid, attemptId), aggregated from chunk metadata columns with no
+    * driver materialization. url min/max merge over the UTF-8 BYTES
+    * (BinaryType comparison is unsigned lexicographic) — the same
+    * ordering the kernel sort, the accumulator merge and the decode range
+    * filter use; a String min/max (UTF-16 code units) would disagree on
+    * supplementary-plane characters. */
+  private def manifestRowsFromChunks(
+      spark: SparkSession,
+      chunkMeta: org.apache.spark.sql.DataFrame,
+      finishedAt: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def codecsOf(c: String) = array_join(array_sort(collect_set(col(s"$c.codec"))), "|")
+    chunkMeta
+      .groupBy($"pid", $"attemptId")
+      .agg(
+        count(lit(1)).as("blocks"),
+        sum($"rows").as("rows"),
+        min(encode($"urlMin", "UTF-8")).as("urlMinB"),
+        max(encode($"urlMax", "UTF-8")).as("urlMaxB"),
+        sum($"rawBytes").as("rawBytes"),
+        sum($"encBytes").as("encBytes"),
+        sum($"flBaselineBytes").as("flBaselineBytes"),
+        sum($"encodeNanos").as("encodeNanos"),
+        expr("bit_xor(textCrc32)").as("textCrc32Xor"),
+        map(
+          lit("url"), codecsOf("url"), lit("warc_ts"), codecsOf("warc_ts"),
+          lit("html"), codecsOf("html"), lit("text"), codecsOf("text"),
+          lit("lang"), codecsOf("lang")).as("codecs"))
+      .select($"pid", $"blocks", $"rows",
+        decode($"urlMinB", "UTF-8").as("urlMin"),
+        decode($"urlMaxB", "UTF-8").as("urlMax"),
+        $"rawBytes", $"encBytes", $"flBaselineBytes", $"encodeNanos",
+        $"textCrc32Xor", $"codecs", $"attemptId",
+        lit(finishedAt).as("finishedAtEpochMs"))
+  }
+
+  /** Reconcile the crash window between a chunk commit and its manifest
+    * commit: a run that died there left complete chunk data with no
+    * manifest rows, so a naive rerun would re-encode those pids and
+    * append duplicate chunks. Detection is gated on the attempt markers
+    * ([[attemptsDir]]): in the steady state this is ONE directory listing
+    * and zero Spark jobs, independent of chunk-table size — the property
+    * a per-micro-batch call on a long-running stream needs. Surviving
+    * markers name the crashed attempts; their manifest rows are rebuilt
+    * from an attemptId-filtered metadata scan (parquet stats prune every
+    * other attempt's files) under the chunks' ORIGINAL attemptId — which
+    * is what lets the streaming replay-skip recognize a crashed "batch-N"
+    * as committed. Attempts that crashed before their chunks- marker are
+    * only reconciled under an atomic output committer
+    * ([[requireAtomicChunkCommit]]). Legacy tables without an attempts
+    * dir get a one-time full-scan reconcile (distributed anti-join; only
+    * actual orphans are collected), after which the marker fast path
+    * applies. Returns the reconciled pid set. Safe to call any time: it
+    * only completes lineage for data already on disk. */
+  def reconcileOrphans(spark: SparkSession, outDir: String): Set[Int] = {
+    if (!TableIO.exists(spark, chunksDir(outDir))) return Set.empty
+    val attDir = attemptsDir(outDir)
+    if (TableIO.exists(spark, attDir)) {
+      val names = TableIO.listDir(spark, attDir)
+      val begun = names.collect { case n if n.startsWith("begin-") => n.stripPrefix("begin-") }.toSet
+      val chunked = names.collect { case n if n.startsWith("chunks-") => n.stripPrefix("chunks-") }.toSet
+      val pending = begun ++ chunked
+      if (pending.isEmpty) return Set.empty // steady state: no jobs at all
+      if ((begun -- chunked).nonEmpty) requireAtomicChunkCommit(spark, begun -- chunked)
+      reconcileAttempts(spark, outDir, pending)
+    } else {
+      val pids = reconcileFullScan(spark, outDir)
+      // migration marker: every later call takes the O(listing) fast path
+      TableIO.mkdirs(spark, attDir)
+      pids
+    }
+  }
+
+  /** Rebuild manifest rows for the named crashed attempts from their own
+    * chunk metadata, then clear their markers. Work is O(those attempts'
+    * chunks), not O(chunk table); the manifest anti-join keeps a crash
+    * between the manifest commit and the marker cleanup from duplicating
+    * rows. */
+  private def reconcileAttempts(spark: SparkSession, outDir: String,
+                                pending: Set[String]): Set[Int] = {
+    import spark.implicits._
+    val cur = chunkMetaScan(spark, outDir).filter($"attemptId".isin(pending.toSeq: _*))
+    val fresh = manifestRowsFromChunks(spark, cur, System.currentTimeMillis())
+    val orphanRows = (
+      if (!TableIO.exists(spark, manifestDir(outDir))) fresh
+      else fresh.join(
+        TableIO.read(spark, manifestDir(outDir))
+          .filter($"attemptId".isin(pending.toSeq: _*))
+          .select($"pid", $"attemptId"),
+        Seq("pid", "attemptId"), "left_anti"))
+      .as[PartitionManifest]
+      .collect() // O(#orphan pids): bounded by the crashed attempts, not the table
+    if (orphanRows.nonEmpty)
+      TableIO.write(spark.createDataset(orphanRows.toSeq).toDF(),
+        manifestDir(outDir), SaveMode.Append)
+    pending.foreach { id =>
+      TableIO.delete(spark, s"${attemptsDir(outDir)}/begin-$id")
+      TableIO.delete(spark, s"${attemptsDir(outDir)}/chunks-$id")
+    }
+    orphanRows.map(_.pid).toSet
+  }
+
+  /** Refuse to reconcile attempts whose chunk-job completion is unknown
+    * (begin- marker without chunks-) unless the configured output commit
+    * is atomic. With mapreduce.fileoutputcommitter.algorithm.version=2
+    * (or a direct object-store committer) a crash mid-write leaves
+    * PARTIALLY committed chunk files; rebuilding manifest rows from them
+    * would mark the attempt committed while silently dropping its
+    * unwritten remainder — worse than the duplicate-on-replay it
+    * prevents. Under the default v1 committer the job commit is one
+    * atomic rename, so "chunk rows exist" implies the attempt's chunk
+    * data is complete. */
+  private def requireAtomicChunkCommit(spark: SparkSession, attempts: Set[String]): Unit = {
+    val algo = spark.sessionState.newHadoopConf()
+      .get("mapreduce.fileoutputcommitter.algorithm.version", "1")
+    require(algo == "1",
+      s"attempt(s) ${attempts.toSeq.sorted.mkString(", ")} crashed before their chunk-commit " +
+        s"marker, and mapreduce.fileoutputcommitter.algorithm.version=$algo does not commit " +
+        "jobs atomically: their chunk files may be partial, so reconciling them could " +
+        "silently drop data. Delete those attempts' chunk rows and begin- markers, or use " +
+        "the v1 committer.")
+  }
+
+  /** Legacy-table reconcile (chunk layout predating attempt markers): a
+    * DISTRIBUTED anti-join of chunk (pid, attemptId) metadata against the
+    * manifest — only actual orphans ever reach the driver. Chunks written
+    * before attemptId existed (null tag) fall back to pid-level
+    * matching. */
+  private def reconcileFullScan(spark: SparkSession, outDir: String): Set[Int] = {
+    import spark.implicits._
+    val chunkScan = chunkMetaScan(spark, outDir)
+    val chunkPairs = chunkScan.select($"pid", $"attemptId").distinct()
+    val orphanPairs: Set[(Int, String)] =
+      (if (!TableIO.exists(spark, manifestDir(outDir)))
+        chunkPairs.as[(Int, String)].collect()
+      else {
+        val manifestPairs = TableIO.read(spark, manifestDir(outDir))
+          .select($"pid", $"attemptId").distinct()
+        val tagged = chunkPairs.filter($"attemptId".isNotNull)
+          .join(manifestPairs, Seq("pid", "attemptId"), "left_anti")
+        val untagged = chunkPairs.filter($"attemptId".isNull)
+          .join(manifestPairs.select($"pid").distinct(), Seq("pid"), "left_anti")
+        tagged.union(untagged).as[(Int, String)].collect()
+      }).toSet
     if (orphanPairs.isEmpty) return Set.empty
     val orphanPids = orphanPairs.map(_._1)
     val fallbackTag = "reconcile-" + java.util.UUID.randomUUID().toString

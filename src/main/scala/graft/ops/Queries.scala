@@ -302,18 +302,32 @@ object Queries {
     * scales: pairs are bounded per bucket, never all-pairs. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val sh = docs.select($"doc_id", $"text",
+    // raw (non-distinct) shingle stream: stays map-side — the corpus side
+    // must NEVER shuffle its full shingle set (at 100 TB that is ~the
+    // corpus itself; see q_contamination's comment for the same rule)
+    val shRaw = docs.select($"doc_id", $"text",
         explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
       .select($"doc_id", expr("substring(text, i, 8)").as("s"))
-      .distinct()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val sig = sh.groupBy($"doc_id").agg(min(md5(concat(lit("0"), $"s").cast("binary"))).as("bucket"))
+    // MinHash signature straight off the RAW stream: min() is duplicate-
+    // insensitive, and the partial aggregation collapses each scan
+    // partition to one row per doc before the shuffle — O(#docs) moved,
+    // not O(#shingles)
+    val sig = shRaw.groupBy($"doc_id")
+      .agg(min(md5(concat(lit("0"), $"s").cast("binary"))).as("bucket"))
     val okBuckets = sig.groupBy($"bucket").agg(count(lit(1)).as("bcnt"))
       .filter($"bcnt".between(2, 16))
     val members = sig.join(okBuckets, "bucket")
     val pairs = members.as("a").join(members.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // only CANDIDATE docs' shingles are ever dedup'd: the pair list is
+    // bounded (≤16 per bucket), so the candidate doc set is tiny relative
+    // to the corpus — broadcast it and let the raw stream filter map-side,
+    // THEN distinct only the survivors
+    val candDocs = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val sh = shRaw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
@@ -467,34 +481,54 @@ object Queries {
     val edges = cut(pairs.union(pairs.select($"dst".as("src"), $"src".as("dst"))), 0, eager = true)
 
     var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
-    var lastChecked = labels
-    var changed = 1L
+    // COUNT-FREE convergence: each round's projection routes the new label
+    // through a udf that bumps a per-round accumulator when it differs
+    // from the previous round's label. The every-k-rounds EAGER cut then
+    // materializes all lazy cuts since the last check in one job, and the
+    // accumulator values certify the fixpoint — no separate join+count job
+    // per check. Accumulators in transformations are at-least-once, which
+    // is safe here: a retried task can only OVER-count (claim change where
+    // the round did change something anyway); a genuinely changeless
+    // window always reads 0.
+    var windowAccs = List.empty[org.apache.spark.util.LongAccumulator]
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      // neighbor-min step
+    while (!converged && rounds < 50) {
+      // neighbor-min step; `own` tags each doc's previous-round label so
+      // the change udf below can compare against it after pointer jumping
       val prop = labels.as("l").join(edges.as("e"), col("l.doc_id") === col("e.src"))
-        .select(col("e.dst").as("doc_id"), col("l.label"))
-      val viaNeighbors = labels.union(prop).groupBy($"doc_id").agg(min($"label").as("label"))
+        .select(col("e.dst").as("doc_id"), col("l.label"), lit(false).as("own"))
+      val viaNeighbors = labels.select($"doc_id", $"label", lit(true).as("own")).union(prop)
+        .groupBy($"doc_id")
+        .agg(min($"label").as("label"), min(when($"own", $"label")).as("old_label"))
+      val acc = spark.sparkContext.longAccumulator(s"graft.cc.changed.r${rounds + 1}")
+      windowAccs ::= acc
+      val markChanged = udf { (oldL: Long, newL: Long) =>
+        if (oldL != newL) acc.add(1L)
+        newL
+      }.asNondeterministic() // side-effecting: keep Catalyst from cloning it
       // pointer-jumping step (label := label of my label): halves label-
       // chain lengths, so convergence is O(log diameter) rounds.
-      // lazy cut: the next convergence count materializes every cut since
-      // the last check in ONE job — no per-round checkpoint job
+      // lazy cut between checks: the next EAGER cut materializes every
+      // lazy cut since the last check (and runs their change udfs) in one
+      // job
+      val isCheck = (rounds + 1) % CcCheckEvery == 0 || rounds + 1 >= 50
       val next = cut(viaNeighbors.as("a")
         .join(viaNeighbors.as("b"), col("a.label") === col("b.doc_id"), "left")
         .select(col("a.doc_id"),
-          coalesce(least(col("a.label"), col("b.label")), col("a.label")).as("label")),
-        rounds + 1, eager = false)
+          markChanged(col("a.old_label"),
+            coalesce(least(col("a.label"), col("b.label")), col("a.label"))).as("label")),
+        rounds + 1, eager = isCheck)
       labels = next
       rounds += 1
-      if (rounds % CcCheckEvery == 0 || rounds >= 50) {
-        // labels only ever decrease, so "unchanged since the snapshot k
-        // rounds ago" certifies a fixpoint for all intervening rounds
-        changed = labels.as("n").join(lastChecked.as("o"), "doc_id")
-          .filter(col("n.label") =!= col("o.label")).count()
-        lastChecked = labels
+      if (isCheck) {
+        // labels only ever decrease, so zero changes across the whole
+        // window certifies a fixpoint for every intervening round
+        converged = windowAccs.forall(_.value == 0L)
+        windowAccs = Nil
       }
     }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    require(converged, s"label propagation did not converge in $rounds rounds")
     labels.groupBy($"label".as("cluster_id")).agg(count(lit(1)).as("n_docs"))
   }
 
@@ -522,19 +556,28 @@ object Queries {
       .groupBy($"tk").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"tk").limit(100)
 
-  /** Sequence packing: greedy char-budget bins per source — the "pack
-    * short documents into fixed-size training sequences" op. The running
-    * sum is a window PARTITIONED by source (scales: no global order);
+  /** Sequence packing: greedy char-budget bins per (source, shard) — the
+    * "pack short documents into fixed-size training sequences" op. The
+    * running sum is a window PARTITIONED by (source, shard), where shard
+    * is a deterministic content-hash of the doc_id: a corpus dominated by
+    * ONE source would otherwise serialize its whole packing pass onto a
+    * single window partition. Sharding is how real packing runs anyway —
+    * sequences only need to be dense per output shard, not globally.
     * bin = the budget bucket the document's START offset falls in. */
+  val SeqPackShards = 8
+
   def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
     val budget = 16384L
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val shard = (conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("bigint") % SeqPackShards).as("shard")
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     t(spark, dir, "documents")
-      .select($"source", $"doc_id", $"n_chars",
+      .select($"source", shard, $"doc_id", $"n_chars")
+      .select($"source", $"shard", $"doc_id", $"n_chars",
         (sum($"n_chars").over(w) - $"n_chars").as("start_off"))
       .withColumn("bin", floor($"start_off" / budget).cast("bigint"))
-      .groupBy($"source", $"bin")
+      .groupBy($"source", $"shard", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
   }
 

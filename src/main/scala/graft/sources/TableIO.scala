@@ -58,4 +58,26 @@ object TableIO {
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** File names directly under `dir` (non-recursive); empty if missing.
+    * One FS listing RPC — the steady-state cost of the attempt-marker
+    * reconcile gate. */
+  def listDir(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Create an empty marker file (parents created as needed). */
+  def touch(spark: SparkSession, path: String): Unit = {
+    val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    out.close()
+  }
+
+  def delete(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), false)
+
+  def mkdirs(spark: SparkSession, path: String): Unit =
+    fs(spark, path).mkdirs(new org.apache.hadoop.fs.Path(path))
 }

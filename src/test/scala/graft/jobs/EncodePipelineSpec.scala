@@ -160,6 +160,13 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
       f.delete()
     }
     rmrf(new java.io.File(EncodeJob.manifestDir(outDir)))
+    // a real crash in this window leaves the attempt's markers behind
+    // (cleanup runs only after the manifest commit) — restore them so the
+    // marker-gated reconcile sees the attempt as pending
+    val crashedTag = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .select($"attemptId").distinct().as[String].head()
+    graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/begin-$crashedTag")
+    graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/chunks-$crashedTag")
 
     // resume must REBUILD the manifest from chunk metadata, not re-encode
     val r = EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 6))
@@ -239,5 +246,112 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(!perCol("text")._2.contains("plain"), perCol("text").toString)
     assert(perCol("text")._4 < perCol("text")._3)
     assert(perCol("html")._4 < perCol("html")._3)
+  }
+
+  test("manifestMode=scan produces the same manifest as the accumulator, O(1) driver state") {
+    import spark.implicits._
+    val accDir = tmpDir("graft-macc")
+    val scanDir = tmpDir("graft-mscan")
+    val ts = new java.sql.Timestamp(1700000000000L)
+    // include the supplementary-plane disagreement so the distributed
+    // min/max (binary/UTF-8) is pinned against the accumulator's
+    // utf8Compare merge, not just ASCII-lucky
+    val uE000 = "https://x/zz"
+    val uSupp = "https://x/" + new String(Character.toChars(0x10000)) + "aa"
+    val extra = Seq(
+      graft.model.Page(uE000, ts, Array[Byte](2), "t2", "en"),
+      graft.model.Page(uSupp, ts, Array[Byte](3), "t3", "en"))
+    val source = WebtextGen.pages(spark, 1200L, seed = 5L)
+      .union(spark.createDataset(extra)).cache()
+
+    EncodeJob.run(spark, source, accDir,
+      EncodeJob.Config(numPartitions = 5, maxBlockRows = 256, manifestMode = "acc"))
+    val rScan = EncodeJob.run(spark, source, scanDir,
+      EncodeJob.Config(numPartitions = 5, maxBlockRows = 256, manifestMode = "scan"))
+    assert(rScan.rowsThisRun == 1202L && rScan.encBytesThisRun > 0L)
+
+    // bounds sampling is seeded + pinned identically, so pids line up and
+    // the two manifests must agree on every content field (encodeNanos
+    // and finishedAt are wall-clock; attemptId is per-run)
+    def stable(dir: String) = spark.read.parquet(EncodeJob.manifestDir(dir))
+      .select($"pid", $"blocks", $"rows", $"urlMin", $"urlMax", $"rawBytes",
+        $"encBytes", $"flBaselineBytes", $"textCrc32Xor", $"codecs")
+      .orderBy($"pid")
+      .collect().map(_.toString).toSeq
+    assert(stable(scanDir) == stable(accDir))
+
+    // and the scan-mode table round-trips + resumes like any other
+    assert(VerifyJob.run(spark, source, DecodeJob.run(spark, scanDir)).ok)
+    val r2 = EncodeJob.run(spark, source, scanDir,
+      EncodeJob.Config(numPartitions = 5, maxBlockRows = 256, manifestMode = "scan"))
+    assert(r2.rowsThisRun == 0L, "scan-mode resume re-encoded completed pids")
+    source.unpersist()
+  }
+
+  test("steady-state reconcile runs zero Spark jobs (marker fast path)") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-steady")
+    val source = WebtextGen.pages(spark, 400L, seed = 9L)
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 3))
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(EncodeJob.reconcileOrphans(spark, outDir).isEmpty)
+      // the listener bus is async but FIFO: run a sentinel job and wait
+      // for ITS start event — any job reconcile had launched would have
+      // been counted before it
+      spark.sparkContext.parallelize(1 to 2, 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"clean-table reconcile launched ${jobs.get() - 1} jobs; must be a pure FS listing")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("begin-only attempts reconcile under the v1 committer, refuse under v2") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-beginonly")
+    val source = WebtextGen.pages(spark, 500L, seed = 21L).cache()
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 3))
+    val tag = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .select($"attemptId").distinct().as[String].head()
+
+    // crash window: chunk job committed but the chunks- marker was never
+    // written (nor the manifest) — only begin- survives
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(EncodeJob.manifestDir(outDir)))
+    graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/begin-$tag")
+
+    // under a NON-atomic committer those chunk files may be partial:
+    // reconcile must refuse rather than launder a half-write into lineage
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        EncodeJob.reconcileOrphans(spark, outDir)
+      }
+      assert(ex.getMessage.contains("atomically"))
+    } finally hc.unset("mapreduce.fileoutputcommitter.algorithm.version")
+
+    // under the default v1 committer the job commit was atomic, so the
+    // chunks are complete: reconcile rebuilds the manifest under the
+    // original tag and the table round-trips
+    val pids = EncodeJob.reconcileOrphans(spark, outDir)
+    assert(pids.nonEmpty)
+    val manifest = spark.read.parquet(EncodeJob.manifestDir(outDir))
+    assert(manifest.select($"attemptId").distinct().as[String].collect().toSet == Set(tag))
+    assert(manifest.select(sum($"rows")).as[Long].head() == 500L)
+    assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
+    // markers cleared: the next reconcile is back on the zero-job path
+    assert(graft.sources.TableIO.listDir(spark, EncodeJob.attemptsDir(outDir)).isEmpty)
+    source.unpersist()
   }
 }

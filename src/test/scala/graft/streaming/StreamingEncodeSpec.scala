@@ -92,6 +92,11 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     rmrfFile(new java.io.File(mPath))
     spark.createDataFrame(spark.sparkContext.parallelize(keptRows), mSchema)
       .write.parquet(mPath)
+    // a real crash in this window leaves batch-1's attempt markers behind
+    // (they are only deleted AFTER the manifest commit) — restore them, so
+    // the marker-gated reconcile sees the attempt as pending
+    graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/begin-batch-1")
+    graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/chunks-batch-1")
     val commits2 = new java.io.File(s"$outDir/_stream_checkpoint/commits").listFiles()
       .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
     java.nio.file.Files.delete(commits2.last.toPath)
