@@ -1,7 +1,7 @@
 package graft.jobs
 
-import java.nio.file.{Files, Path, Paths}
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 import graft.codec.ReferenceFl
@@ -22,10 +22,7 @@ import graft.codec.ReferenceFl
   * bytes never pass through the driver. The output file is bit-identical
   * to a whole-file single-node encode — the same alignment invariant
   * behind MergeFLCompressed (fl_common.cuh:95-151: full frames are
-  * byte-aligned, so bits/values arrays concatenate exactly). Slice reads
-  * open the input path per task, exactly the reference's
-  * every-rank-opens-the-file model (works in local mode and on any
-  * cluster with a shared FS).
+  * byte-aligned, so bits/values arrays concatenate exactly).
   *
   * Decompress is the symmetric distributed job. The reference has no
   * distributed decompress at all (main.cu:131-169: `fl` -> GPU else CPU,
@@ -40,9 +37,20 @@ import graft.codec.ReferenceFl
   * own (bits, values) ranges, decode their frames independently, and
   * write raw part files the driver stream-concatenates in slice order.
   * Driver memory is O(#slices) + a stream buffer; per-task memory is
-  * bounded by the slice cap — the old driver-side whole-file read (and
-  * its 2 GiB Int-array ceiling) is gone, and nothing O(n) ever passes
-  * through the driver (at 100 TB even the bits array alone is ~0.8 TB).
+  * bounded by the slice cap — nothing O(n) ever passes through the
+  * driver (at 100 TB even the bits array alone is ~0.8 TB).
+  *
+  * ALL I/O goes through the Hadoop FileSystem API: every task opens the
+  * shared input itself (the reference's every-rank-opens-the-file model,
+  * file_io.cu:28-71) and issues POSITIONED reads — so `hdfs://` and
+  * `s3a://` paths work unchanged, and the per-task request pattern is
+  * explicit and bounded: exactly one ranged read per array a task
+  * touches (compress: 1 input range; decompress: 1 bits range + 1 values
+  * range — on an object store, 1-2 ranged GETs per task), plus one
+  * streaming part-file write. The driver's concat re-reads each part
+  * once, sequentially. Tasks receive the DRIVER's Hadoop configuration
+  * (spark.hadoop.* overrides, object-store credentials included) via a
+  * serializable wrapper, not a fresh executor-side default.
   *
   * This is the one deliberate RDD surface in the engine (north_rule says
   * Dataset-first): the input is an opaque byte file with no schema, so a
@@ -77,21 +85,41 @@ object FlFileJob {
     }
   }
 
+  /** Hadoop Configuration is Writable but not java-Serializable; this
+    * minimal wrapper ships the DRIVER's configuration (with its
+    * spark.hadoop.* overrides and object-store credentials) into range-
+    * read tasks instead of letting executors fall back to bare defaults. */
+  private final class SerializableConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   def compress(spark: SparkSession, in: String, out: String, slices: Int = 32): Long = {
-    val fileSize = Files.size(Paths.get(in))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fileSize = fs(conf, in).getFileStatus(new Path(in)).getLen
     val bounds = sliceBounds(fileSize, slices)
     val partsDir = s"$out.parts"
-    rmrf(Paths.get(partsDir))
-    Files.createDirectories(Paths.get(partsDir))
+    rmrf(conf, partsDir)
+    fs(conf, partsDir).mkdirs(new Path(partsDir))
+    val confSer = new SerializableConf(conf)
 
     // executors: compress own slice, write own parts, return sizes only
     val meta = spark.sparkContext
       .parallelize(bounds.zipWithIndex, bounds.size)
       .map { case ((start, end), idx) =>
-        val buf = readRange(in, start, end - start, s"slice $idx")
+        val tconf = confSer.value
+        val buf = readRange(tconf, in, start, end - start, s"slice $idx")
         val c = ReferenceFl.compress(buf)
-        Files.write(Paths.get(f"$partsDir/bits-$idx%05d"), c.bits)
-        Files.write(Paths.get(f"$partsDir/values-$idx%05d"), c.values)
+        writeFile(tconf, f"$partsDir/bits-$idx%05d", c.bits)
+        writeFile(tconf, f"$partsDir/values-$idx%05d", c.values)
         (idx, c.inputSize, c.bits.length.toLong, c.values.length.toLong)
       }
       .collect()
@@ -103,22 +131,23 @@ object FlFileJob {
     val totalBits = meta.map(_._3).sum
     val totalValues = meta.map(_._4).sum
     val parts =
-      meta.map(m => (Paths.get(f"$partsDir/bits-${m._1}%05d"), m._3)) ++
-        meta.map(m => (Paths.get(f"$partsDir/values-${m._1}%05d"), m._4))
-    concatParts(out, header(totalIn, totalBits, totalValues), parts)
-    rmrf(Paths.get(partsDir))
+      meta.map(m => (f"$partsDir/bits-${m._1}%05d", m._3)) ++
+        meta.map(m => (f"$partsDir/values-${m._1}%05d", m._4))
+    concatParts(conf, out, header(totalIn, totalBits, totalValues), parts)
+    rmrf(conf, partsDir)
     ReferenceFl.HeaderBytes + totalBits + totalValues
   }
 
   /** Distributed decompress; returns the raw (decoded) byte count. */
   def decompress(spark: SparkSession, in: String, out: String, slices: Int = 32): Long = {
-    val hdr = readRange(in, 0L, ReferenceFl.HeaderBytes, "header")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hdr = readRange(conf, in, 0L, ReferenceFl.HeaderBytes, "header")
     val hb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val inputSize = hb.getLong()
     val bitsSize = hb.getLong()
     val valuesSize = hb.getLong()
     if (inputSize == 0L) {
-      Files.write(Paths.get(out), Array.emptyByteArray)
+      writeFile(conf, out, Array.emptyByteArray)
       return 0L
     }
     require(bitsSize == (inputSize + ReferenceFl.FrameLength - 1) / ReferenceFl.FrameLength,
@@ -128,6 +157,7 @@ object FlFileJob {
     // 2 GiB cap) as compress, so decompress handles any file compress made
     val bounds = sliceBounds(inputSize, slices)
     val startFrames = bounds.map(_._1 / ReferenceFl.FrameLength)
+    val confSer = new SerializableConf(conf)
 
     // stage 1 — DISTRIBUTED partial sums over the bits array (the
     // reference's own two-phase sizing: prefix scan over bits[f]*128,
@@ -143,7 +173,8 @@ object FlFileJob {
         val frameStart = outStart / ReferenceFl.FrameLength
         val frameCnt = ((outEnd - outStart + ReferenceFl.FrameLength - 1) /
           ReferenceFl.FrameLength).toInt
-        val bits = readRange(in, headerBytes + frameStart, frameCnt.toLong, s"slice $idx bits")
+        val bits = readRange(confSer.value, in, headerBytes + frameStart,
+          frameCnt.toLong, s"slice $idx bits")
         var total = 0L
         var f = 0
         while (f < frameCnt) {
@@ -176,8 +207,8 @@ object FlFileJob {
       s"bits array implies ${(cumBits + 7) / 8} payload bytes, header says $valuesSize")
 
     val partsDir = s"$out.parts"
-    rmrf(Paths.get(partsDir))
-    Files.createDirectories(Paths.get(partsDir))
+    rmrf(conf, partsDir)
+    fs(conf, partsDir).mkdirs(new Path(partsDir))
 
     // executors: each task decodes its frame range independently (chunk
     // independence, SURVEY.md §1.1) and writes its own raw part file
@@ -187,19 +218,22 @@ object FlFileJob {
     val meta = spark.sparkContext
       .parallelize(tasks, tasks.size)
       .map { case (idx, frameStart, vStart, vEnd, outLen) =>
+        val tconf = confSer.value
         val frameCnt = ((outLen + ReferenceFl.FrameLength - 1) / ReferenceFl.FrameLength).toInt
-        val bits = readRange(in, headerBytes + frameStart, frameCnt.toLong, s"slice $idx bits")
-        val values = readRange(in, headerBytes + bitsSize + vStart, vEnd - vStart, s"slice $idx values")
+        val bits = readRange(tconf, in, headerBytes + frameStart, frameCnt.toLong,
+          s"slice $idx bits")
+        val values = readRange(tconf, in, headerBytes + bitsSize + vStart, vEnd - vStart,
+          s"slice $idx values")
         val raw = ReferenceFl.decompress(ReferenceFl.FlCompressed(outLen, bits, values))
-        Files.write(Paths.get(f"$partsDir/raw-$idx%05d"), raw)
+        writeFile(tconf, f"$partsDir/raw-$idx%05d", raw)
         (idx, raw.length.toLong)
       }
       .collect()
       .sortBy(_._1)
 
-    concatParts(out, Array.emptyByteArray,
-      meta.map(m => (Paths.get(f"$partsDir/raw-${m._1}%05d"), m._2)))
-    rmrf(Paths.get(partsDir))
+    concatParts(conf, out, Array.emptyByteArray,
+      meta.map(m => (f"$partsDir/raw-${m._1}%05d", m._2)))
+    rmrf(conf, partsDir)
     val total = meta.map(_._2).sum
     require(total == inputSize, s"decoded $total bytes, header says $inputSize")
     total
@@ -212,41 +246,60 @@ object FlFileJob {
     hdr.array()
   }
 
+  private def fs(conf: Configuration, path: String): FileSystem =
+    new Path(path).getFileSystem(conf)
+
   /** Ordered stream-concat of part files into `out` after an optional
     * header; driver memory bounded by the stream buffer. Each part's size
     * is checked against the size its task reported — fail fast if they
     * disagree (interleaved writes, zombie attempt). */
-  private def concatParts(out: String, header: Array[Byte], parts: Seq[(Path, Long)]): Unit = {
-    val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(out), 1 << 20)
+  private def concatParts(conf: Configuration, out: String, header: Array[Byte],
+                          parts: Seq[(String, Long)]): Unit = {
+    val os = new java.io.BufferedOutputStream(
+      fs(conf, out).create(new Path(out), true), 1 << 20)
     try {
       os.write(header)
+      val buf = new Array[Byte](1 << 20)
       parts.foreach { case (part, want) =>
-        require(Files.size(part) == want,
-          s"$part is ${Files.size(part)} bytes, task reported $want — corrupt part")
-        Files.copy(part, os)
+        val p = new Path(part)
+        val f = fs(conf, part)
+        val got = f.getFileStatus(p).getLen
+        require(got == want,
+          s"$part is $got bytes, task reported $want — corrupt part")
+        val is = f.open(p)
+        try {
+          var n = is.read(buf)
+          while (n >= 0) {
+            os.write(buf, 0, n)
+            n = is.read(buf)
+          }
+        } finally is.close()
       }
     } finally os.close()
   }
 
-  /** Read exactly `len` bytes at `start` of `path` (every task opens the
-    * shared file itself — the reference's every-rank-opens-the-file model,
-    * file_io.cu:28-71). */
-  private def readRange(path: String, start: Long, len: Long, what: String): Array[Byte] = {
+  /** Read exactly `len` bytes at `start` of `path`: ONE positioned read
+    * against the Hadoop FileSystem (a single ranged GET on an object
+    * store; a pread on a local/HDFS file). */
+  private def readRange(conf: Configuration, path: String, start: Long, len: Long,
+                        what: String): Array[Byte] = {
     require(len <= Int.MaxValue, s"$what is $len bytes; slicing must keep reads under 2 GiB")
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val in = fs(conf, path).open(new Path(path))
     try {
       val b = new Array[Byte](len.toInt)
-      raf.seek(start)
-      raf.readFully(b)
+      in.readFully(start, b, 0, len.toInt)
       b
-    } finally raf.close()
+    } finally in.close()
   }
 
-  private def rmrf(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(rmrf(_)) finally s.close()
-    }
-    Files.deleteIfExists(p)
+  private def writeFile(conf: Configuration, path: String, bytes: Array[Byte]): Unit = {
+    val os = fs(conf, path).create(new Path(path), true)
+    try os.write(bytes) finally os.close()
+  }
+
+  private def rmrf(conf: Configuration, path: String): Unit = {
+    val f = fs(conf, path)
+    val p = new Path(path)
+    if (f.exists(p)) f.delete(p, true)
   }
 }
