@@ -317,16 +317,24 @@ object Queries {
     val okBuckets = sig.groupBy($"bucket").agg(count(lit(1)).as("bcnt"))
       .filter($"bcnt".between(2, 16))
     val members = sig.join(okBuckets, "bucket")
+    // materialize the (bounded, ≤16-per-bucket) pair list ONCE: it feeds
+    // the broadcast, the verify joins and the output — without the cut,
+    // each consumer would re-run the whole signature subtree over the
+    // corpus
     val pairs = members.as("a").join(members.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .localCheckpoint(true)
     // only CANDIDATE docs' shingles are ever dedup'd: the pair list is
-    // bounded (≤16 per bucket), so the candidate doc set is tiny relative
-    // to the corpus — broadcast it and let the raw stream filter map-side,
-    // THEN distinct only the survivors
+    // bounded, so the candidate doc set is tiny relative to the corpus —
+    // broadcast it and let the raw stream filter map-side, THEN distinct
+    // only the survivors
     val candDocs = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
-    val sh = shRaw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
+    // (also materialized once: sh feeds sizes and BOTH sides of the
+    // common-shingle join — uncut, each consumer would re-scan the corpus)
+    val sh = shRaw.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .distinct().localCheckpoint(true)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
