@@ -313,6 +313,41 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("legacy tables (no attempts dir, null-tag chunks) reconcile once, then migrate") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-legacy")
+    val source = WebtextGen.pages(spark, 300L, seed = 33L).cache()
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 2))
+
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    // rebuild the pre-round-3 on-disk shape: chunks with NULL attemptId,
+    // no manifest, no attempts dir
+    val legacy = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .withColumn("attemptId", lit(null).cast("string"))
+      .localCheckpoint(true)
+    rmrf(new java.io.File(EncodeJob.chunksDir(outDir)))
+    legacy.write.parquet(EncodeJob.chunksDir(outDir))
+    rmrf(new java.io.File(EncodeJob.manifestDir(outDir)))
+    rmrf(new java.io.File(EncodeJob.attemptsDir(outDir)))
+
+    // one-time full-scan reconcile: distributed anti-join, fallback tag
+    val pids = EncodeJob.reconcileOrphans(spark, outDir)
+    assert(pids.nonEmpty)
+    val manifest = spark.read.parquet(EncodeJob.manifestDir(outDir))
+    assert(manifest.select(sum($"rows")).as[Long].head() == 300L)
+    assert(manifest.select($"attemptId").as[String].collect()
+      .forall(_.startsWith("reconcile-")))
+    assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
+
+    // migrated: the attempts dir now exists and the next call is a no-op
+    assert(new java.io.File(EncodeJob.attemptsDir(outDir)).isDirectory)
+    assert(EncodeJob.reconcileOrphans(spark, outDir).isEmpty)
+    source.unpersist()
+  }
+
   test("begin-only attempts reconcile under the v1 committer, refuse under v2") {
     import spark.implicits._
     val outDir = tmpDir("graft-beginonly")
