@@ -486,9 +486,26 @@ object Queries {
       if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint(eager)
       else df.localCheckpoint(eager)
 
-    val edges = cut(pairs.union(pairs.select($"dst".as("src"), $"src".as("dst"))), 0, eager = true)
+    // The RDD[Row] round-trip on the (bounded) edge set strips the
+    // checkpoint-preserved "origin constraints" of the LSH self-join
+    // lineage: Catalyst keeps them on LogicalRDD, and the union
+    // constraint rewrite inside the propagation rounds throws
+    // `key not found: <attr>` when one references an attribute the
+    // self-join deduplication cloned away (seen on Spark 4.1 once labels
+    // derive from the edge lineage). Edges are O(candidate pairs), so the
+    // one-time Row conversion is noise.
+    val edges0 = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val edges = cut(spark.createDataFrame(edges0.rdd, edges0.schema), 0, eager = true)
 
-    var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    // only docs that appear in a candidate pair can ever change label —
+    // isolated docs are singleton clusters BY DEFINITION and are added
+    // back after the fixpoint. The iteration therefore shuffles O(|near-
+    // dup candidates|) rows per round, not O(|corpus|): at 100 TB the
+    // candidate set is a small fraction of the table, and dragging every
+    // row through O(log d) propagation rounds was the dominant cost.
+    // (edges holds both directions, so `src` alone covers all members.)
+    val touched = edges.select($"src".as("doc_id")).distinct().localCheckpoint(true)
+    var labels = touched.select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
     // COUNT-FREE convergence: each round's projection routes the new label
     // through a udf that bumps a per-round accumulator when it differs
     // from the previous round's label. The every-k-rounds EAGER cut then
@@ -537,7 +554,15 @@ object Queries {
       }
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
+    // isolated docs rejoin as singleton clusters (cluster_id = own id) —
+    // identical output to iterating them, without the per-round shuffles.
+    // (aliased BEFORE the anti-join: Union's constraint rewrite chokes on
+    // constraints that mention a pre-alias attribute absent from output)
+    val singles = docs.select($"doc_id".as("cluster_id"))
+      .join(touched, $"cluster_id" === touched("doc_id"), "left_anti")
+      .select($"cluster_id", lit(1L).as("n_docs"))
     labels.groupBy($"label".as("cluster_id")).agg(count(lit(1)).as("n_docs"))
+      .unionByName(singles)
   }
 
   /** Deterministic stratified sampling: per-lang sampling rates applied
