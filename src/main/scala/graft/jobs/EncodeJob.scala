@@ -148,8 +148,15 @@ object EncodeJob {
     * therefore fully committed; any surviving marker names exactly the
     * attempts a crash may have left half-done — so the per-micro-batch
     * orphan reconcile is one directory listing in the steady state,
-    * independent of how large the chunk table has grown. */
+    * independent of how large the chunk table has grown. The persistent
+    * `_migrated` file (never deleted) is what gates the fast path: an
+    * object store that drops empty directory prefixes (S3A with deleted
+    * dir markers) would otherwise make a CLEAN table look like a
+    * pre-marker legacy one and re-trigger the full-scan migration every
+    * batch. */
   def attemptsDir(outDir: String) = s"$outDir/_attempts"
+
+  private def migratedMarker(outDir: String) = s"${attemptsDir(outDir)}/_migrated"
 
   // ---------------------------------------------------------------- bounds
 
@@ -392,6 +399,7 @@ object EncodeJob {
     // chunk job, chunks- after its commit, both removed after the manifest
     // commit — every crash window identifies itself by which markers
     // survive, so reconcile never has to scan for it
+    TableIO.touch(spark, migratedMarker(outDir))
     TableIO.touch(spark, s"${attemptsDir(outDir)}/begin-$attemptId")
     TableIO.write(chunks.toDF(), chunksDir(outDir), SaveMode.Append,
       Map("compression" -> chunkCompression))
@@ -557,19 +565,50 @@ object EncodeJob {
   def reconcileOrphans(spark: SparkSession, outDir: String): Set[Int] = {
     if (!TableIO.exists(spark, chunksDir(outDir))) return Set.empty
     val attDir = attemptsDir(outDir)
-    if (TableIO.exists(spark, attDir)) {
+    // gate on the persistent _migrated FILE, not the directory: object
+    // stores that drop empty prefixes would make a clean table look
+    // legacy and re-run the full scan every batch
+    if (TableIO.exists(spark, migratedMarker(outDir))) {
       val names = TableIO.listDir(spark, attDir)
       val begun = names.collect { case n if n.startsWith("begin-") => n.stripPrefix("begin-") }.toSet
       val chunked = names.collect { case n if n.startsWith("chunks-") => n.stripPrefix("chunks-") }.toSet
-      val pending = begun ++ chunked
-      if (pending.isEmpty) return Set.empty // steady state: no jobs at all
-      if ((begun -- chunked).nonEmpty) requireAtomicChunkCommit(spark, begun -- chunked)
-      reconcileAttempts(spark, outDir, pending)
+      if ((begun ++ chunked).isEmpty) return Set.empty // steady state: no jobs at all
+      // begin- without chunks-: the chunk JOB's completion is unproven —
+      // FileOutputCommitter's commitJob (v1 AND v2) is a sequence of
+      // renames, not one atomic operation, so a driver killed mid-commit
+      // can leave a PARTIAL set of files. Reconciling those would launder
+      // a half-write into committed lineage (silent loss); instead the
+      // attempt is rolled BACK — its chunk files are dropped and the
+      // batch re-encodes on resume/replay (its offsets/pids were never
+      // marked committed). Committer-independent by construction.
+      if ((begun -- chunked).nonEmpty) dropAttemptChunks(spark, outDir, begun -- chunked)
+      if (chunked.isEmpty) Set.empty
+      else reconcileAttempts(spark, outDir, chunked)
     } else {
       val pids = reconcileFullScan(spark, outDir)
       // migration marker: every later call takes the O(listing) fast path
-      TableIO.mkdirs(spark, attDir)
+      TableIO.touch(spark, migratedMarker(outDir))
       pids
+    }
+  }
+
+  /** Roll back attempts whose chunk-job completion is unproven: delete
+    * exactly the chunk FILES carrying their attemptId (a write job's
+    * files contain only its own attempt's rows), then clear the begin-
+    * markers. Order matters — files first, marker last — so a crash here
+    * re-runs the (idempotent) rollback. */
+  private def dropAttemptChunks(spark: SparkSession, outDir: String,
+                                attempts: Set[String]): Unit = {
+    import spark.implicits._
+    val files = chunkMetaScan(spark, outDir)
+      .filter($"attemptId".isin(attempts.toSeq: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    }
+    attempts.foreach { id =>
+      TableIO.delete(spark, s"${attemptsDir(outDir)}/begin-$id")
     }
   }
 
@@ -602,76 +641,38 @@ object EncodeJob {
     orphanRows.map(_.pid).toSet
   }
 
-  /** Refuse to reconcile attempts whose chunk-job completion is unknown
-    * (begin- marker without chunks-) unless the configured output commit
-    * is atomic. With mapreduce.fileoutputcommitter.algorithm.version=2
-    * (or a direct object-store committer) a crash mid-write leaves
-    * PARTIALLY committed chunk files; rebuilding manifest rows from them
-    * would mark the attempt committed while silently dropping its
-    * unwritten remainder — worse than the duplicate-on-replay it
-    * prevents. Under the default v1 committer the job commit is one
-    * atomic rename, so "chunk rows exist" implies the attempt's chunk
-    * data is complete. */
-  private def requireAtomicChunkCommit(spark: SparkSession, attempts: Set[String]): Unit = {
-    val algo = spark.sessionState.newHadoopConf()
-      .get("mapreduce.fileoutputcommitter.algorithm.version", "1")
-    require(algo == "1",
-      s"attempt(s) ${attempts.toSeq.sorted.mkString(", ")} crashed before their chunk-commit " +
-        s"marker, and mapreduce.fileoutputcommitter.algorithm.version=$algo does not commit " +
-        "jobs atomically: their chunk files may be partial, so reconciling them could " +
-        "silently drop data. Delete those attempts' chunk rows and begin- markers, or use " +
-        "the v1 committer.")
-  }
-
-  /** Legacy-table reconcile (chunk layout predating attempt markers): a
-    * DISTRIBUTED anti-join of chunk (pid, attemptId) metadata against the
-    * manifest — only actual orphans ever reach the driver. Chunks written
-    * before attemptId existed (null tag) fall back to pid-level
-    * matching. */
+  /** Legacy-table reconcile (chunk layout predating attempt markers):
+    * aggregate the WHOLE chunk table's metadata into candidate manifest
+    * rows DISTRIBUTEDLY (the same [[manifestRowsFromChunks]] the other
+    * paths use — null tags coalesce to one fresh "reconcile-" tag, which
+    * anti-joins at pid level since legacy manifests can't know it), then
+    * anti-join against the manifest so only actual orphan manifest ROWS
+    * — O(#orphan (pid, attempt) pairs), never raw chunk rows — reach the
+    * driver. Runs once per table; the _migrated marker then routes every
+    * later call to the listing fast path. */
   private def reconcileFullScan(spark: SparkSession, outDir: String): Set[Int] = {
     import spark.implicits._
-    val chunkScan = chunkMetaScan(spark, outDir)
-    val chunkPairs = chunkScan.select($"pid", $"attemptId").distinct()
-    val orphanPairs: Set[(Int, String)] =
-      (if (!TableIO.exists(spark, manifestDir(outDir)))
-        chunkPairs.as[(Int, String)].collect()
+    val fallbackTag = "reconcile-" + java.util.UUID.randomUUID().toString
+    val tagged = chunkMetaScan(spark, outDir)
+      .withColumn("attemptId", coalesce($"attemptId", lit(fallbackTag)))
+    val rows = manifestRowsFromChunks(spark, tagged, System.currentTimeMillis())
+    val orphanRows = (
+      if (!TableIO.exists(spark, manifestDir(outDir))) rows
       else {
         val manifestPairs = TableIO.read(spark, manifestDir(outDir))
           .select($"pid", $"attemptId").distinct()
-        val tagged = chunkPairs.filter($"attemptId".isNotNull)
+        val byPair = rows.filter($"attemptId" =!= fallbackTag)
           .join(manifestPairs, Seq("pid", "attemptId"), "left_anti")
-        val untagged = chunkPairs.filter($"attemptId".isNull)
+        val byPid = rows.filter($"attemptId" === fallbackTag)
           .join(manifestPairs.select($"pid").distinct(), Seq("pid"), "left_anti")
-        tagged.union(untagged).as[(Int, String)].collect()
-      }).toSet
-    if (orphanPairs.isEmpty) return Set.empty
-    val orphanPids = orphanPairs.map(_._1)
-    val fallbackTag = "reconcile-" + java.util.UUID.randomUUID().toString
-    val metaRows = chunkScan
-      .filter($"pid".isin(orphanPids.toSeq: _*))
-      .select($"pid", $"rows", $"urlMin", $"urlMax", $"rawBytes", $"encBytes",
-        $"flBaselineBytes", $"encodeNanos", $"textCrc32",
-        $"url.codec", $"warc_ts.codec", $"html.codec", $"text.codec", $"lang.codec",
-        $"attemptId")
-      .collect()
-      .filter(r => orphanPairs.contains((r.getInt(0), r.getString(14))))
-    val now = System.currentTimeMillis()
-    def codecsOf(cs: Array[org.apache.spark.sql.Row], i: Int): String =
-      cs.map(_.getString(i)).distinct.sorted.mkString("|")
-    val rebuilt = metaRows
-      .groupBy(r => (r.getInt(0), Option(r.getString(14)).getOrElse(fallbackTag)))
-      .map { case ((pid, tag), cs) =>
-        PartitionManifest(pid, cs.length.toLong, cs.map(_.getLong(1)).sum,
-          cs.map(_.getString(2)).min(Utf8Ordering), cs.map(_.getString(3)).max(Utf8Ordering),
-          cs.map(_.getLong(4)).sum, cs.map(_.getLong(5)).sum, cs.map(_.getLong(6)).sum,
-          cs.map(_.getLong(7)).sum, cs.map(_.getLong(8)).foldLeft(0L)(_ ^ _),
-          Map("url" -> codecsOf(cs, 9), "warc_ts" -> codecsOf(cs, 10),
-            "html" -> codecsOf(cs, 11), "text" -> codecsOf(cs, 12),
-            "lang" -> codecsOf(cs, 13)),
-          tag, now)
-      }.toSeq.sortBy(m => (m.pid, m.attemptId))
-    TableIO.write(spark.createDataset(rebuilt).toDF(), manifestDir(outDir), SaveMode.Append)
-    orphanPids
+        byPair.union(byPid)
+      })
+      .as[PartitionManifest].collect()
+      .sortBy(m => (m.pid, m.attemptId))
+    if (orphanRows.isEmpty) return Set.empty
+    TableIO.write(spark.createDataset(orphanRows.toSeq).toDF(),
+      manifestDir(outDir), SaveMode.Append)
+    orphanRows.map(_.pid).toSet
   }
 
   /** Pass-through iterator that folds every produced chunk into per-pid

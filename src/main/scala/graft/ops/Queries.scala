@@ -325,15 +325,18 @@ object Queries {
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .localCheckpoint(true)
-    // only CANDIDATE docs' shingles are ever dedup'd: the pair list is
-    // bounded, so the candidate doc set is tiny relative to the corpus —
-    // broadcast it and let the raw stream filter map-side, THEN distinct
-    // only the survivors
+    // only CANDIDATE docs' shingles are ever dedup'd: the raw stream
+    // semi-joins against the candidate doc set BEFORE any distinct. No
+    // explicit broadcast hint: the candidate set is usually small (AQE
+    // sees the materialized pair list's size at runtime and broadcasts
+    // the semi-join), but on a pathologically dup-heavy corpus it can
+    // approach O(#docs) — an unconditional broadcast() would then OOM the
+    // driver, where AQE instead degrades to a shuffle semi-join.
     val candDocs = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     // (also materialized once: sh feeds sizes and BOTH sides of the
     // common-shingle join — uncut, each consumer would re-scan the corpus)
-    val sh = shRaw.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sh = shRaw.join(candDocs, Seq("doc_id"), "left_semi")
       .distinct().localCheckpoint(true)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val common = pairs

@@ -348,7 +348,7 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     source.unpersist()
   }
 
-  test("begin-only attempts reconcile under the v1 committer, refuse under v2") {
+  test("begin-only attempts roll back (chunk-job completion is unprovable)") {
     import spark.implicits._
     val outDir = tmpDir("graft-beginonly")
     val source = WebtextGen.pages(spark, 500L, seed = 21L).cache()
@@ -356,8 +356,10 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     val tag = spark.read.parquet(EncodeJob.chunksDir(outDir))
       .select($"attemptId").distinct().as[String].head()
 
-    // crash window: chunk job committed but the chunks- marker was never
-    // written (nor the manifest) — only begin- survives
+    // crash window: died somewhere inside/just after the chunk job, before
+    // the chunks- marker — only begin- survives. FileOutputCommitter's
+    // commitJob (v1 and v2 alike) is a SEQUENCE of renames, so the chunk
+    // files on disk may be a partial subset; completion is unprovable.
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete()
@@ -365,28 +367,24 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     rmrf(new java.io.File(EncodeJob.manifestDir(outDir)))
     graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/begin-$tag")
 
-    // under a NON-atomic committer those chunk files may be partial:
-    // reconcile must refuse rather than launder a half-write into lineage
-    val hc = spark.sparkContext.hadoopConfiguration
-    hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
-    try {
-      val ex = intercept[IllegalArgumentException] {
-        EncodeJob.reconcileOrphans(spark, outDir)
-      }
-      assert(ex.getMessage.contains("atomically"))
-    } finally hc.unset("mapreduce.fileoutputcommitter.algorithm.version")
+    // reconcile must NOT launder possibly-partial files into lineage: the
+    // attempt rolls back — its chunk files are dropped, nothing enters
+    // the manifest, and the begin- marker is cleared
+    assert(EncodeJob.reconcileOrphans(spark, outDir).isEmpty)
+    assert(spark.read
+      .schema(org.apache.spark.sql.Encoders.product[graft.model.EncodedChunk].schema)
+      .parquet(EncodeJob.chunksDir(outDir)).count() == 0L,
+      "rolled-back attempt left chunk rows behind")
+    assert(!graft.sources.TableIO.exists(spark, EncodeJob.manifestDir(outDir)))
+    val names = graft.sources.TableIO.listDir(spark, EncodeJob.attemptsDir(outDir))
+    assert(!names.exists(_.startsWith("begin-")) && !names.exists(_.startsWith("chunks-")))
 
-    // under the default v1 committer the job commit was atomic, so the
-    // chunks are complete: reconcile rebuilds the manifest under the
-    // original tag and the table round-trips
-    val pids = EncodeJob.reconcileOrphans(spark, outDir)
-    assert(pids.nonEmpty)
-    val manifest = spark.read.parquet(EncodeJob.manifestDir(outDir))
-    assert(manifest.select($"attemptId").distinct().as[String].collect().toSet == Set(tag))
-    assert(manifest.select(sum($"rows")).as[Long].head() == 500L)
+    // the batch then re-encodes cleanly on resume (its pids were never
+    // marked committed) and the table round-trips
+    val r = EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 3))
+    assert(r.rowsThisRun == 500L)
+    assert(DecodeJob.run(spark, outDir).count() == 500L)
     assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
-    // markers cleared: the next reconcile is back on the zero-job path
-    assert(graft.sources.TableIO.listDir(spark, EncodeJob.attemptsDir(outDir)).isEmpty)
     source.unpersist()
   }
 }
