@@ -26,12 +26,30 @@ object DecodeJob {
 
   val ColumnNames: Seq[String] = Seq("url", "warc_ts", "html", "text", "lang")
 
-  /** Chunk-table scan with the schema pinned explicitly: an empty chunks
-    * directory (an encode of an empty input) then reads as zero rows
-    * instead of failing parquet schema inference. */
+  /** One shared chunk-table scan recipe for encode-side reconcile and
+    * decode (schema pinned explicitly: an empty chunks directory — an
+    * encode of an empty input — reads as zero rows instead of failing
+    * parquet schema inference). */
   private def chunkScan(spark: SparkSession, outDir: String) =
-    spark.read.schema(Encoders.product[EncodedChunk].schema)
-      .format(TableIO.format(spark)).load(EncodeJob.chunksDir(outDir))
+    EncodeJob.chunkMetaScan(spark, outDir)
+
+  /** Decoded-text CRC lineage check, shared by the full and projected
+    * decode paths: the decoded text column must reproduce the CRC the
+    * encoder recorded for this chunk — corruption fails fast, at the
+    * chunk that broke, instead of surfacing later as a verify-join
+    * mismatch. */
+  private def requireTextCrc(v: graft.codec.ColumnCodec.BytesView,
+                             recorded: Long, pid: Int, blockIdx: Int): Unit = {
+    val crc = new java.util.zip.CRC32()
+    var k = 0
+    while (k < v.n) {
+      if (!v.isNull(k)) crc.update(v.payload, v.start(k), v.len(k))
+      k += 1
+    }
+    require(crc.getValue == recorded,
+      s"chunk pid=$pid blockIdx=$blockIdx: decoded text CRC ${crc.getValue} " +
+        s"!= recorded $recorded (corrupt block?)")
+  }
 
   def run(spark: SparkSession, outDir: String): Dataset[Page] = {
     import spark.implicits._
@@ -50,6 +68,8 @@ object DecodeJob {
                    urlRange: Option[(String, String)] = None): DataFrame = {
     require(columns.nonEmpty && columns.forall(ColumnNames.contains),
       s"columns must be among $ColumnNames, got $columns")
+    require(columns.distinct == columns,
+      s"duplicate columns requested: $columns — parquet rejects duplicate field names")
     // row-level range filtering needs the decoded url; add it internally
     val needUrl = urlRange.isDefined && !columns.contains("url")
     val decodeCols = if (needUrl) "url" +: columns else columns
@@ -89,14 +109,7 @@ object DecodeJob {
               (j: Int) => v.copyAt(j)
             case "text" =>
               val v = ColumnCodec.decodeBytesView(block)
-              val crc = new java.util.zip.CRC32()
-              var k = 0
-              while (k < v.n) {
-                if (!v.isNull(k)) crc.update(v.payload, v.start(k), v.len(k))
-                k += 1
-              }
-              require(crc.getValue == r.getLong(3),
-                s"chunk pid=${r.getInt(1)} blockIdx=${r.getInt(2)}: decoded text CRC mismatch")
+              requireTextCrc(v, r.getLong(3), r.getInt(1), r.getInt(2))
               (j: Int) => v.stringAt(j)
             case _ =>
               val v = ColumnCodec.decodeBytesView(block)
@@ -148,18 +161,7 @@ object DecodeJob {
     val htmls = ColumnCodec.decodeBytesView(chunk.html.block)
     val texts = ColumnCodec.decodeBytesView(chunk.text.block)
     val langs = ColumnCodec.decodeBytesView(chunk.lang.block)
-    // lineage check: decoded text must reproduce the CRC the encoder
-    // recorded for this chunk — corruption fails fast, at the chunk that
-    // broke, instead of surfacing later as a verify-join mismatch
-    val crc = new java.util.zip.CRC32()
-    var ci = 0
-    while (ci < texts.n) {
-      if (!texts.isNull(ci)) crc.update(texts.payload, texts.start(ci), texts.len(ci))
-      ci += 1
-    }
-    require(crc.getValue == chunk.textCrc32,
-      s"chunk pid=${chunk.pid} blockIdx=${chunk.blockIdx}: decoded text CRC " +
-        s"${crc.getValue} != recorded ${chunk.textCrc32} (corrupt block?)")
+    requireTextCrc(texts, chunk.textCrc32, chunk.pid, chunk.blockIdx)
     val n = chunk.rows.toInt
     Iterator.tabulate(n) { i =>
       val ts = if (tsNulls != null && tsNulls(i)) null else microsToTs(tsMicros(i))

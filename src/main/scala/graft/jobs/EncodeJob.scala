@@ -77,15 +77,20 @@ object EncodeJob {
       resume: Boolean = true,
       seedSampleSize: Int = 10000,
       /** Pin bounds.json only when the bounds sample saw at least this
-        * many rows (0 = always pin). Guards streaming front ends: a tiny
-        * first micro-batch would otherwise pin unrepresentative url
-        * bounds forever. The guard only applies when `resume = false`
+        * many rows. Guards streaming front ends: a tiny first micro-batch
+        * would otherwise pin unrepresentative url bounds forever.
+        * Negative = UNSET (the default): batch runs always pin;
+        * [[graft.streaming.StreamingEncode]] substitutes its own default
+        * of 16 rows/partition. An EXPLICIT 0 means "always pin, even for
+        * a tiny first micro-batch" and is honored by streaming (the
+        * sentinel exists so that choice is distinguishable from
+        * left-at-default). The guard only applies when `resume = false`
         * (the streaming path): a resumable batch run always pins computed
         * bounds, because re-deriving them after a crash is only identical
         * under an identical input scan partitioning — file-split changes
         * between runs would silently shift pid assignment against the
         * completed-pid set. */
-      boundsPinMinRows: Long = 0L,
+      boundsPinMinRows: Long = -1L,
       /** Manifest lineage tag; None = fresh random UUID. Streaming sets
         * a deterministic per-micro-batch tag ("batch-<id>") so a replayed
         * batch is detectable and skippable (exactly-once pattern). */
@@ -502,7 +507,7 @@ object EncodeJob {
   /** Explicit-schema METADATA scan of the chunk table: only the columns a
     * caller selects are ever read (each encoded column is a top-level
     * struct leaf), so payload bytes stay on disk. */
-  private def chunkMetaScan(spark: SparkSession, outDir: String) =
+  private[jobs] def chunkMetaScan(spark: SparkSession, outDir: String) =
     spark.read
       .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
       .format(TableIO.format(spark)).load(chunksDir(outDir))

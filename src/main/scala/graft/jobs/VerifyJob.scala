@@ -52,8 +52,11 @@ object VerifyJob {
     val d = digests(decoded, "d")
     val joined = s.join(d, Seq("url"), "full_outer")
       .agg(
-        sum(coalesce($"s_n", lit(0L))).as("src"),
-        sum(coalesce($"d_n", lit(0L))).as("dec"),
+        // coalesce OUTSIDE the sum too: a zero-row join (both tables
+        // empty — a supported case) makes sum() itself null, which the
+        // non-nullable tuple encoder would reject
+        coalesce(sum(coalesce($"s_n", lit(0L))), lit(0L)).as("src"),
+        coalesce(sum(coalesce($"d_n", lit(0L))), lit(0L)).as("dec"),
         count(when($"s_n".isNotNull && $"d_n".isNotNull, 1)).as("joined"),
         count(when(!($"s_n" <=> $"d_n") || !($"s_text" <=> $"d_text"), 1)).as("textMm"),
         count(when(!($"s_html" <=> $"d_html"), 1)).as("htmlMm"),

@@ -43,6 +43,12 @@ object JsonlPages {
       .option("mode", "FAILFAST") // a malformed crawl line fails loudly
       .json(path)
       .select(col("url"), col("warc_ts"),
-        unbase64(col("html_b64")).as("html"), col("text"), col("lang"))
+        // STRICT base64: unbase64's MIME decoder silently skips invalid
+        // characters, turning a corrupt html_b64 into wrong-but-plausible
+        // bytes that round-trip verify could never catch (source and
+        // decoded would both carry the corruption). to_binary fails
+        // loudly instead — keeping this file's malformed-line contract.
+        expr("to_binary(html_b64, 'base64')").as("html"),
+        col("text"), col("lang"))
       .as[graft.model.Page](Encoders.product[graft.model.Page])
 }

@@ -53,10 +53,20 @@ object TableIO {
     } finally in.close()
   }
 
+  /** Atomic-enough text write: content goes to a temp sibling first, then
+    * renames over the target. A crash mid-write leaves only the temp file
+    * — the target is either absent (recomputable) or complete, never
+    * truncated. (An in-place create/write/close could leave a half-written
+    * bounds.json that poisons every later resume.) */
   def writeTextFile(spark: SparkSession, path: String, content: String): Unit = {
-    val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    val f = fs(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    require(f.rename(tmp, target), s"rename $tmp -> $target failed")
   }
 
   /** File names directly under `dir` (non-recursive); empty if missing.

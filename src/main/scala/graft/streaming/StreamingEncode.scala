@@ -54,9 +54,11 @@ object StreamingEncode {
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val pageSchema = Encoders.product[Page].schema
     // default pin guard: a batch must sample at least ~16 rows/partition
-    // before its bounds are frozen for all later batches
+    // before its bounds are frozen for all later batches. Only the UNSET
+    // sentinel (<0) is replaced — an explicit 0 means the caller wants
+    // even a tiny first batch to pin, and is honored.
     val effCfg =
-      if (cfg.boundsPinMinRows > 0L) cfg
+      if (cfg.boundsPinMinRows >= 0L) cfg
       else cfg.copy(boundsPinMinRows = 16L * cfg.numPartitions)
     // Refuse to start if the streaming checkpoint is GONE while the
     // manifest already carries batch lineage: a fresh checkpoint renumbers
@@ -74,6 +76,13 @@ object StreamingEncode {
           "would renumber from 0 and new data could be silently skipped as replays. " +
           "Restore the checkpoint or encode into a fresh output dir.")
     }
+    // Replays can only be the FIRST re-delivered batch(es) after a query
+    // restart: within one query incarnation each batchId runs exactly
+    // once. Once a batch is confirmed fresh, every later batch in this
+    // incarnation skips the manifest scan — so the steady-state per-batch
+    // overhead is the reconcile marker listing alone, not a manifest read
+    // that grows with the number of committed batches.
+    @volatile var sawFreshBatch = false
     spark.readStream
       .schema(pageSchema)
       .parquet(inDir)
@@ -90,10 +99,12 @@ object StreamingEncode {
         // of re-encoding it into duplicates
         EncodeJob.reconcileOrphans(spark, outDir)
         val replayed =
-          TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
+          !sawFreshBatch &&
+            TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
             !TableIO.read(spark, EncodeJob.manifestDir(outDir))
               .filter(org.apache.spark.sql.functions.col("attemptId") === tag)
               .isEmpty
+        if (!replayed) sawFreshBatch = true
         // scalastyle:off println — operational one-liners, mirror PipelineCli
         if (replayed) {
           // this batch already committed its manifest in a previous run of

@@ -66,4 +66,17 @@ class DecodeProjectionSpec extends AnyFunSuite with SparkFixture {
       .as[(String, Long, String)].collect().sorted
     assert(got.toSeq == want.toSeq)
   }
+
+  test("duplicate or unknown projection columns are rejected at the API boundary") {
+    // duplicates would otherwise surface later as parquet's confusing
+    // 'Found duplicate column(s)' on write
+    val dup = intercept[IllegalArgumentException] {
+      DecodeJob.runProjected(spark, dir, Seq("url", "url"))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val unknown = intercept[IllegalArgumentException] {
+      DecodeJob.runProjected(spark, dir, Seq("nope"))
+    }
+    assert(unknown.getMessage.contains("columns must be among"))
+  }
 }

@@ -30,4 +30,28 @@ class JsonlPagesSpec extends AnyFunSuite with SparkFixture {
     assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
     source.unpersist(); back.unpersist()
   }
+
+  test("malformed base64 in a crawl line fails loudly, not as silent corruption") {
+    // unbase64's MIME decoder would skip the invalid characters and
+    // produce wrong-but-plausible html bytes that no round-trip verify
+    // could ever catch (source and decoded both corrupt); the strict
+    // to_binary decode must throw instead
+    val dir = tmpDir("graft-jsonl-bad")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.jsonl"),
+      """{"url":"https://x/a","warc_ts":"2024-01-01T00:00:00.000000Z","html_b64":"!!not-base64!!","text":"t","lang":"en"}""" + "\n")
+    val ex = intercept[Exception] {
+      JsonlPages.read(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("BASE64") || ex.getMessage.contains("malformed"),
+      s"unexpected failure: ${ex.getMessage.take(200)}")
+  }
+
+  test("verify of two empty tables reports zeros, not a crash") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[graft.model.Page]
+    val r = VerifyJob.run(spark, empty, empty)
+    assert(r.ok && r.sourceRows == 0L && r.decodedRows == 0L)
+  }
 }
