@@ -16,15 +16,7 @@ import org.apache.spark.sql.SparkSession
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
   */
 object Bench {
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"'          => "\\\""
-    case '\\'         => "\\\\"
-    case '\n'         => "\\n"
-    case '\r'         => "\\r"
-    case '\t'         => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c            => c.toString
-  }
+  private def jsonEscape(s: String): String = JsonEscape(s)
 
   def main(args: Array[String]): Unit = {
     val (repeat, names) = args.toList match {
@@ -46,6 +38,11 @@ object Bench {
     spark.range(100000L).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => () }
+    // a typo'd name must not silently select nothing and print a passing
+    // 0-second bench
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => names.contains(k) }

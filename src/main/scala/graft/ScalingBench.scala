@@ -58,28 +58,11 @@ object ScalingBench {
     def ratioVsFl: Double = encBytes.toDouble / math.max(1L, flBaselineBytes)
   }
 
-  private def session(cpus: Int, parts: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", math.max(cpus, parts))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.files.openCostInBytes", "1m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
-
-  private def rmrf(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete()
-    }
-    rec(new java.io.File(path))
-  }
+  // one session recipe for generate/decode phases AND the measured child
+  // levels — a config drift between them would measure under different
+  // settings than the phases that produced the data
+  private def session(cpus: Int, parts: Int): SparkSession =
+    ScalingLevel.session(cpus, parts)
 
   /** Pure-CPU fixed-total-work calibration: (T_8 / T_32) / 4 for W
     * splitmix64 iterations split across k threads. Measures what the box
@@ -167,7 +150,11 @@ object ScalingBench {
     // neighbors at loadavg 10+) cannot sit inside all of one level's
     // reps — back-to-back reps give correlated noise that best-of-N
     // cannot remove. Best per level across rounds is kept.
-    require(cpuLevels.contains(32), "cpuLevels must include 32 (sizes + fl-only run key off it)")
+    // 2 and 8 are the published efficiency pairs: their absence would make
+    // wall() return NaN, which flows into bench_scaling.json as the
+    // literal NaN — invalid JSON that breaks every downstream consumer
+    require(Seq(2, 8, 32).forall(cpuLevels.contains),
+      s"cpuLevels must include 2, 8 and 32 (efficiency pairs + sizes/fl-only key off them), got $cpuLevels")
     val specs: Seq[(Int, String)] = cpuLevels.map(c => (c, "auto")) :+ ((32, "fl"))
     var best = Map.empty[(Int, String), (LevelResult, Long, Long, Long)]
     (1 to reps).foreach { round =>

@@ -38,6 +38,14 @@ object DistOrder {
     * result as the single-partition `lag`+running-`sum` window oracle, at
     * per-partition parallelism. The RLE semantics mirror the reference's
     * run-boundary mask + scan design (IMPLEMENTATION-PLAN.md:93-123).
+    *
+    * NULL semantics: consecutive NULLs form ONE run (null is a value, as
+    * in a codec's null bitmap). The matching SQL oracle must use a
+    * null-SAFE break test — `lag(v) OVER w IS DISTINCT FROM v` — NOT the
+    * three-valued `lag(v) IS NULL OR lag(v) <> v`, whose NULL<>v = NULL
+    * quirk would merge a NULL row into the preceding non-null run and
+    * split consecutive NULLs. (Both current callers pass non-null
+    * columns, where the two forms agree.)
     */
   def runs(df: DataFrame, sortCols: Seq[String], valueCol: String, numParts: Int): DataFrame = {
     val spark = df.sparkSession

@@ -145,6 +145,33 @@ object Queries {
 
   // ------------------------------------------------- training-pipeline ops
 
+  /** Raw (NON-distinct) 8-char shingle stream at stride 4 — the one
+    * shingle definition shared by the whole MinHash/LSH family
+    * (q_minhash_lsh, q_ngram_jaccard, q_dedup_clusters, q_contamination)
+    * and their DuckDB oracles. Stays map-side; dedup only ever happens
+    * downstream on bounded subsets (never the full corpus). */
+  private def shingleStream(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
+      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
+
+  /** k-family MinHash signature (columns h0..h(k-1)) straight off the raw
+    * shingle stream: min() is duplicate-insensitive and the partial
+    * aggregation moves O(#docs) signature rows, not O(#shingles). */
+  private def minhashSig(sh: DataFrame, k: Int): DataFrame = {
+    val hs = (0 until k).map(b =>
+      min(md5(concat(lit(b.toString), $"s").cast("binary"))).as(s"h$b"))
+    sh.groupBy($"doc_id").agg(hs.head, hs.tail: _*)
+  }
+
+  /** The 4 signature families exploded to (doc_id, band, bucket) — ALL
+    * four bands as candidate generators (OR over bands: the multi-band
+    * recall boost is the point of computing 4 families). */
+  private def bands4(sig: DataFrame): DataFrame =
+    sig.select($"doc_id", explode(map(
+        lit(0L), $"h0", lit(1L), $"h1", lit(2L), $"h2", lit(3L), $"h3"))
+        .as(Seq("band", "bucket")))
+
   /** Exact dedup groups by content hash. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").groupBy(md5($"text".cast("binary")).as("h"))
@@ -192,22 +219,10 @@ object Queries {
     * then LSH banding with ALL 4 bands as candidate generators (OR over
     * bands — the multi-band recall boost is the whole point of computing
     * 4 families): bucket stats per (band, bucket). */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val sh = docs.select($"doc_id", $"text",
-        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
-      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
-    val sig = sh.groupBy($"doc_id").agg(
-      min(md5(concat(lit("0"), $"s").cast("binary"))).as("h0"),
-      min(md5(concat(lit("1"), $"s").cast("binary"))).as("h1"),
-      min(md5(concat(lit("2"), $"s").cast("binary"))).as("h2"),
-      min(md5(concat(lit("3"), $"s").cast("binary"))).as("h3"))
-    sig.select($"doc_id", explode(map(
-        lit(0L), $"h0", lit(1L), $"h1", lit(2L), $"h2", lit(3L), $"h3"))
-        .as(Seq("band", "bucket")))
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    bands4(minhashSig(shingleStream(t(spark, dir, "documents")), 4))
       .groupBy($"band", $"bucket")
       .agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_doc"))
-  }
 
   /** SimHash: 16-bit sign-aggregated token hash per doc (DuckDB oracle
     * expresses the same hex-parse + bit votes with integer shifts). */
@@ -305,15 +320,8 @@ object Queries {
     // raw (non-distinct) shingle stream: stays map-side — the corpus side
     // must NEVER shuffle its full shingle set (at 100 TB that is ~the
     // corpus itself; see q_contamination's comment for the same rule)
-    val shRaw = docs.select($"doc_id", $"text",
-        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
-      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
-    // MinHash signature straight off the RAW stream: min() is duplicate-
-    // insensitive, and the partial aggregation collapses each scan
-    // partition to one row per doc before the shuffle — O(#docs) moved,
-    // not O(#shingles)
-    val sig = shRaw.groupBy($"doc_id")
-      .agg(min(md5(concat(lit("0"), $"s").cast("binary"))).as("bucket"))
+    val shRaw = shingleStream(docs)
+    val sig = minhashSig(shRaw, 1).select($"doc_id", $"h0".as("bucket"))
     val okBuckets = sig.groupBy($"bucket").agg(count(lit(1)).as("bcnt"))
       .filter($"bcnt".between(2, 16))
     val members = sig.join(okBuckets, "bucket")
@@ -449,17 +457,7 @@ object Queries {
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val sh = docs.select($"doc_id", $"text",
-        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
-      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
-    val sig = sh.groupBy($"doc_id").agg(
-      min(md5(concat(lit("0"), $"s").cast("binary"))).as("h0"),
-      min(md5(concat(lit("1"), $"s").cast("binary"))).as("h1"),
-      min(md5(concat(lit("2"), $"s").cast("binary"))).as("h2"),
-      min(md5(concat(lit("3"), $"s").cast("binary"))).as("h3"))
-    val bands = sig.select($"doc_id", explode(map(
-        lit(0L), $"h0", lit(1L), $"h1", lit(2L), $"h2", lit(3L), $"h3"))
-        .as(Seq("band", "bucket")))
+    val bands = bands4(minhashSig(shingleStream(docs), 4))
     val okBuckets = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("bcnt"))
       .filter($"bcnt".between(2, 16))
     val members = bands.join(okBuckets, Seq("band", "bucket"))
@@ -628,9 +626,7 @@ object Queries {
     // agg already collapses duplicates, and a corpus-wide distinct would
     // shuffle every shingle of the 100-TB side before the join. Only the
     // tiny benchmark side dedups (it gets broadcast).
-    val sh = docs.select($"doc_id", $"text",
-        explode(sequence(lit(1), greatest(lit(1), length($"text") - 7), lit(4))).as("i"))
-      .select($"doc_id", expr("substring(text, i, 8)").as("s"))
+    val sh = shingleStream(docs)
     val bench = sh.filter($"doc_id" < 20)
       .select($"doc_id".as("bench_id"), $"s")
       .distinct()
@@ -660,11 +656,14 @@ object Queries {
         $"text",
         $"lang")
       .as[Page](Encoders.product[Page])
-    // one deterministic scratch dir per input dir, wiped before each
-    // encode: repeated invocations (bench reps, repeated oracle runs)
-    // reuse it instead of leaking one encoded table copy per call
+    // one deterministic scratch dir per (process, input dir), wiped
+    // before each encode: repeated invocations (bench reps, repeated
+    // oracle runs) reuse it instead of leaking one encoded table copy per
+    // call, and the pid component keeps CONCURRENT JVMs over the same
+    // input (e.g. Bench and Verify in parallel) from wiping each other's
+    // in-flight encode mid-decode
     val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-engine-rt-${Integer.toHexString(dir.hashCode)}").toString
+      s"graft-engine-rt-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}").toString
     def rmrf(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
         val s = java.nio.file.Files.list(p)
@@ -696,7 +695,7 @@ object Queries {
         $"lang")
       .as[Page](Encoders.product[Page])
     val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-engine-rtr-${Integer.toHexString(dir.hashCode)}").toString
+      s"graft-engine-rtr-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}").toString
     def rmrf(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
         val s = java.nio.file.Files.list(p)
@@ -743,9 +742,16 @@ object Queries {
     * up per (user, session). */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // gap test at MICROSECOND precision: unix_timestamp() truncates to
+    // whole seconds, so a 1800.4 s gap would read as exactly 1800 and NOT
+    // break — while the DuckDB oracle's fractional epoch() comparison
+    // does. unix_micros matches the oracle exactly on micro-quantized ts.
+    // (ts is TIMESTAMP_NTZ in the parquet; the cast to TIMESTAMP is
+    // difference-neutral under the session's pinned UTC zone)
+    val micros = (c: Column) => unix_micros(c.cast("timestamp"))
     val gap = when(
       lag($"ts", 1).over(byUser).isNull ||
-        unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byUser)) > 1800, 1)
+        micros($"ts") - micros(lag($"ts", 1).over(byUser)) > 1800L * 1000000L, 1)
       .otherwise(0)
     t(spark, dir, "events")
       .select($"user_id", $"event_id", $"ts", $"value", gap.as("brk"))

@@ -9,6 +9,12 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vfy"
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# a query that THREW in graft.Verify leaves an entry here (and no output
+# dir); surface those as failures instead of silently comparing nothing
+try:
+    errors = json.load(open(f"{out_dir}/errors.json"))
+except FileNotFoundError:
+    errors = {}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -29,6 +35,13 @@ def canon(df):
     return df
 
 fails = 0
+for name, msg in errors.items():
+    print(f"[ERR  ] {name}: {msg[:160]}"); fails += 1
+# every declared query must have produced SOMETHING (output or an error)
+produced = {d.split("/")[-1] for d in glob.glob(f"{out_dir}/q_*")}
+for name in oracle:
+    if name not in produced and name not in errors:
+        print(f"[MISS ] {name}: never attempted"); fails += 1
 for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
     name = qdir.split("/")[-1]
     spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{qdir}/*.parquet")]) \
