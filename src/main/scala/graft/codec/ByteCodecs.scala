@@ -10,7 +10,11 @@ trait ByteCodec extends Serializable {
   def id: Int
   def name: String
   def encode(data: Array[Byte]): Array[Byte]
-  def decode(block: Array[Byte]): Array[Byte]
+  /** Decode a block that STARTS at `from` inside a larger buffer — the
+    * zero-copy entry every nested-block reader uses (blocks are fully
+    * self-delimiting, so no end offset is needed). */
+  def decode(block: Array[Byte], from: Int): Array[Byte]
+  final def decode(block: Array[Byte]): Array[Byte] = decode(block, 0)
 }
 
 object ByteCodecs {
@@ -37,8 +41,11 @@ case object PlainBytes extends ByteCodec {
     out.write(data, 0, data.length)
     out.toByteArray
   }
-  def decode(block: Array[Byte]): Array[Byte] = {
-    val cur = new ByteCursor(block)
+  /** Exact realized size — selector candidates must be exact by contract. */
+  def sizeOf(data: Array[Byte]): Long =
+    Varint.sizeUnsigned(data.length.toLong).toLong + data.length
+  def decode(block: Array[Byte], from: Int): Array[Byte] = {
+    val cur = new ByteCursor(block, from)
     cur.readBytes(cur.readUnsignedVarint().toInt)
   }
 }
@@ -92,15 +99,21 @@ case object FlBytes extends ByteCodec {
       }
       f += 1
     }
-    val out = new Array[Byte](head.length + framesCount + values.length)
+    // Long-checked: the caller-side chunk guard bounds the INPUT, but FL
+    // output exceeds it by one bits byte per 128-byte frame, so a ~2.14 GB
+    // width-8 input would wrap this sum negative and crash the allocation
+    val outLen = head.length.toLong + framesCount + values.length
+    require(outLen <= Int.MaxValue,
+      s"FL block would be $outLen bytes (> JVM array cap); encode smaller chunks")
+    val out = new Array[Byte](outLen.toInt)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(bits, 0, out, head.length, framesCount)
     System.arraycopy(values, 0, out, head.length + framesCount, values.length)
     out
   }
 
-  def decode(block: Array[Byte]): Array[Byte] = {
-    val cur = new ByteCursor(block)
+  def decode(block: Array[Byte], from: Int): Array[Byte] = {
+    val cur = new ByteCursor(block, from)
     val n = cur.readUnsignedVarint().toInt
     if (n == 0) return Array.emptyByteArray
     val framesCount = (n + FrameLength - 1) / FrameLength
@@ -182,8 +195,8 @@ case object RleBytes extends ByteCodec {
     runs.toArray
   }
 
-  def decode(block: Array[Byte]): Array[Byte] = {
-    val cur = new ByteCursor(block)
+  def decode(block: Array[Byte], from: Int): Array[Byte] = {
+    val cur = new ByteCursor(block, from)
     val n = cur.readUnsignedVarint().toInt
     val runCount = cur.readUnsignedVarint().toInt
     val out = new Array[Byte](n)

@@ -147,7 +147,7 @@ object ColumnCodec {
     val forSize = if (flOnly) Long.MaxValue else ForLongs.sizeOf(present)
     val rleSize = if (flOnly) Long.MaxValue else RleLongs.sizeOf(present)
     val deltaSize = if (flOnly) Long.MaxValue else DeltaLongs.sizeOf(present)
-    val plainSize = 8L * present.length + 9
+    val plainSize = if (flOnly) Long.MaxValue else PlainLongs.sizeOf(present)
 
     val plainLe = longsToLeBytes(present)
     val flSize = FlBytes.sizeOf(plainLe)
@@ -189,9 +189,9 @@ object ColumnCodec {
     val present: Array[Long] = form match {
       case FormLong =>
         val codec = LongCodecs.byId(h.cur.readByte())
-        codec.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        codec.decode(h.cur.buf, h.cur.pos)
       case FormLongFlPlain =>
-        val plain = FlBytes.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val plain = FlBytes.decode(h.cur.buf, h.cur.pos)
         val bb = java.nio.ByteBuffer.wrap(plain).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         Array.fill(plain.length / 8)(bb.getLong())
       case f => throw new IllegalArgumentException(s"bad long form $f")
@@ -249,7 +249,7 @@ object ColumnCodec {
     // prefix test alone would also kill a globally-repetitive column with
     // a unique HEAD (e.g. sorted input), so a triggered prefix test is
     // confirmed by a strided whole-column probe before aborting.
-    val dictCandidate: Option[(Long, Array[Array[Byte]], Array[Long])] = if (flOnly) None else {
+    val dictCandidate: Option[(Long, Array[Array[Byte]], Array[Long], LongCodec)] = if (flOnly) None else {
       val map = new java.util.LinkedHashMap[BytesKey, Integer]()
       val codes = new Array[Long](present.length)
       var ok = true
@@ -264,7 +264,7 @@ object ColumnCodec {
         }
         if (ok) codes(i) = idx.longValue()
         i += 1
-        if (!probed && (i & 1023) == 0 && map.size * 10 > i * 9) { // prefix >90% unique
+        if (!probed && (i & 1023) == 0 && map.size * 10L > i * 9L) { // prefix >90% unique (Long: i*9 wraps Int past ~238M rows)
           probed = true
           if (stridedImpliesOverCap(present)) ok = false
         }
@@ -276,16 +276,28 @@ object ColumnCodec {
         var j = 0
         while (it.hasNext) { dict(j) = it.next().bytes; j += 1 }
         val dictBytes = dict.map(d => Varint.sizeUnsigned(d.length.toLong).toLong + d.length).sum
-        val codesSize = Seq(ForLongs.sizeOf(codes), RleLongs.sizeOf(codes), 8L * codes.length + 9).min
-        Some((Varint.sizeUnsigned(dict.length.toLong) + dictBytes + 1 + codesSize, dict, codes))
+        // the winning codes codec is chosen HERE and threaded to build():
+        // recomputing the minBy there would re-scan codes and could even
+        // disagree if the two expressions ever drifted
+        val (codesCodec, codesSize) = Seq[(LongCodec, Long)](
+          (ForLongs, ForLongs.sizeOf(codes)),
+          (RleLongs, RleLongs.sizeOf(codes)),
+          (PlainLongs, PlainLongs.sizeOf(codes))).minBy(_._2)
+        Some((Varint.sizeUnsigned(dict.length.toLong) + dictBytes + 1 + codesSize,
+          dict, codes, codesCodec))
       }
     }
 
     // composite candidate: lengths (exact best long codec) + payload codec.
     // The FSST table is trained ONCE here and reused by the real encode if
     // FSST wins (training is the expensive half of the FSST path).
-    val lenSize = if (flOnly) Long.MaxValue
-      else Seq(ForLongs.sizeOf(lengths), RleLongs.sizeOf(lengths), DeltaLongs.sizeOf(lengths)).min
+    // winning lengths codec chosen once and threaded to build() (no
+    // duplicate O(n) sizeOf passes, no drift between two minBys)
+    val (lenCodec, lenSize) = if (flOnly) (null: LongCodec, Long.MaxValue)
+      else Seq[(LongCodec, Long)](
+        (ForLongs, ForLongs.sizeOf(lengths)),
+        (RleLongs, RleLongs.sizeOf(lengths)),
+        (DeltaLongs, DeltaLongs.sizeOf(lengths))).minBy(_._2)
     val fsstSample: Array[Byte] =
       if (!flOnly && payload.length >= 256) FsstBytes.sample(payload) else null
     val fsstTable: FsstBytes.SymbolTable =
@@ -293,7 +305,7 @@ object ColumnCodec {
     val payloadCandidates: Seq[(String, Long)] = if (flOnly) Seq.empty else Seq(
       RleBytes.name -> RleBytes.sizeOf(payload),
       FlBytes.name -> FlBytes.sizeOf(payload),
-      PlainBytes.name -> (payload.length.toLong + 9),
+      PlainBytes.name -> PlainBytes.sizeOf(payload),
       FsstBytes.name -> (if (fsstTable != null)
         FsstBytes.estimateSizeWithTable(payload, fsstSample, fsstTable)
       else Long.MaxValue))
@@ -308,7 +320,7 @@ object ColumnCodec {
         Seq(s"$bestPayloadName+lens" ->
             (lenSize + Varint.sizeUnsigned(lenSize) + bestPayloadSize + 2),
           "fl_plain" -> flSize) ++
-          dictCandidate.map { case (s, _, _) => "dict" -> s }
+          dictCandidate.map { case (s, _, _, _) => "dict" -> s }
       }
 
     var (winner, _) = candidates.minBy(_._2)
@@ -318,16 +330,10 @@ object ColumnCodec {
       writeHeader(out, n, nulls)
       name match {
         case "dict" =>
-          val (_, dict, codes) = dictCandidate.get
+          val (_, dict, codes, codesCodec) = dictCandidate.get
           out.write(FormBytesDict)
           Varint.writeUnsigned(out, dict.length.toLong)
           dict.foreach { d => Varint.writeUnsigned(out, d.length.toLong); out.write(d, 0, d.length) }
-          val codesCodec = Seq[LongCodec](ForLongs, RleLongs, PlainLongs).minBy {
-            case ForLongs   => ForLongs.sizeOf(codes)
-            case RleLongs   => RleLongs.sizeOf(codes)
-            case PlainLongs => 8L * codes.length + 9
-            case _          => Long.MaxValue
-          }
           out.write(codesCodec.id)
           val cb = codesCodec.encode(codes)
           out.write(cb, 0, cb.length)
@@ -337,12 +343,6 @@ object ColumnCodec {
           out.write(b, 0, b.length)
         case composite =>
           out.write(FormBytesComposite)
-          val lenCodec = Seq[LongCodec](ForLongs, RleLongs, DeltaLongs).minBy {
-            case ForLongs   => ForLongs.sizeOf(lengths)
-            case RleLongs   => RleLongs.sizeOf(lengths)
-            case DeltaLongs => DeltaLongs.sizeOf(lengths)
-            case _          => Long.MaxValue
-          }
           out.write(lenCodec.id)
           val lb = lenCodec.encode(lengths)
           Varint.writeUnsigned(out, lb.length.toLong)
@@ -417,7 +417,7 @@ object ColumnCodec {
           j += 1
         }
         val codec = LongCodecs.byId(h.cur.readByte())
-        val codes = codec.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val codes = codec.decode(h.cur.buf, h.cur.pos)
         val starts = new Array[Int](codes.length)
         val lens = new Array[Int](codes.length)
         var i = 0
@@ -433,7 +433,7 @@ object ColumnCodec {
         val lenBlockLen = h.cur.readUnsignedVarint().toInt
         val lengths = lenCodec.decode(h.cur.readBytes(lenBlockLen))
         val pCodec = ByteCodecs.byId(h.cur.readByte())
-        val payload = pCodec.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val payload = pCodec.decode(h.cur.buf, h.cur.pos)
         val starts = new Array[Int](lengths.length)
         val lens = new Array[Int](lengths.length)
         var off = 0
@@ -448,7 +448,7 @@ object ColumnCodec {
         (payload, starts, lens)
       case FormBytesFlPlain =>
         val presentCount = if (h.nulls == null) h.n else h.nulls.count(!_)
-        val plain = FlBytes.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val plain = FlBytes.decode(h.cur.buf, h.cur.pos)
         val bb = java.nio.ByteBuffer.wrap(plain, 0, presentCount * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val starts = new Array[Int](presentCount)
         val lens = new Array[Int](presentCount)
@@ -490,14 +490,14 @@ object ColumnCodec {
           h.cur.readBytes(l)
         }
         val codec = LongCodecs.byId(h.cur.readByte())
-        val codes = codec.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val codes = codec.decode(h.cur.buf, h.cur.pos)
         codes.map(c => dict(c.toInt))
       case FormBytesComposite =>
         val lenCodec = LongCodecs.byId(h.cur.readByte())
         val lenBlockLen = h.cur.readUnsignedVarint().toInt
         val lengths = lenCodec.decode(h.cur.readBytes(lenBlockLen))
         val pCodec = ByteCodecs.byId(h.cur.readByte())
-        val payload = pCodec.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val payload = pCodec.decode(h.cur.buf, h.cur.pos)
         val out = new Array[Array[Byte]](lengths.length)
         var off = 0
         var i = 0
@@ -510,7 +510,7 @@ object ColumnCodec {
         out
       case FormBytesFlPlain =>
         val presentCount = if (h.nulls == null) h.n else h.nulls.count(!_)
-        val plain = FlBytes.decode(java.util.Arrays.copyOfRange(h.cur.buf, h.cur.pos, h.cur.buf.length))
+        val plain = FlBytes.decode(h.cur.buf, h.cur.pos)
         val bb = java.nio.ByteBuffer.wrap(plain, 0, presentCount * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val lengths = Array.fill(presentCount)(bb.getLong())
         val out = new Array[Array[Byte]](presentCount)

@@ -33,8 +33,8 @@ case object FsstBytes extends ByteCodec {
     encodeWithTable(data, table)
   }
 
-  def decode(block: Array[Byte]): Array[Byte] = {
-    val cur = new ByteCursor(block)
+  def decode(block: Array[Byte], from: Int): Array[Byte] = {
+    val cur = new ByteCursor(block, from)
     val decodedLen = cur.readUnsignedVarint().toInt
     val nSymbols = cur.readByte()
     val lens = cur.readBytes(nSymbols)

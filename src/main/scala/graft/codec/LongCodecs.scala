@@ -10,7 +10,10 @@ sealed trait LongCodec extends Serializable {
   def id: Int
   def name: String
   def encode(values: Array[Long]): Array[Byte]
-  def decode(block: Array[Byte]): Array[Long]
+  /** Decode a block that STARTS at `from` inside a larger buffer (zero-
+    * copy nested-block entry; blocks are fully self-delimiting). */
+  def decode(block: Array[Byte], from: Int): Array[Long]
+  final def decode(block: Array[Byte]): Array[Long] = decode(block, 0)
 }
 
 object LongCodecs {
@@ -31,6 +34,9 @@ object LongCodecs {
 case object PlainLongs extends LongCodec {
   val id = 10
   val name = "plain_i64"
+  /** Exact realized size — selector candidates must be exact by contract. */
+  def sizeOf(values: Array[Long]): Long =
+    Varint.sizeUnsigned(values.length.toLong).toLong + 8L * values.length
   def encode(values: Array[Long]): Array[Byte] = {
     val head = new ByteArrayOutputStream(10)
     Varint.writeUnsigned(head, values.length.toLong)
@@ -42,8 +48,8 @@ case object PlainLongs extends LongCodec {
     values.foreach(bb.putLong)
     bb.array()
   }
-  def decode(block: Array[Byte]): Array[Long] = {
-    val cur = new ByteCursor(block)
+  def decode(block: Array[Byte], from: Int): Array[Long] = {
+    val cur = new ByteCursor(block, from)
     val n = cur.readUnsignedVarint().toInt
     val bb = java.nio.ByteBuffer.wrap(block, cur.pos, n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Array.fill(n)(bb.getLong())
@@ -93,8 +99,8 @@ case object ForLongs extends LongCodec {
     out.toByteArray
   }
 
-  def decode(block: Array[Byte]): Array[Long] = {
-    val cur = new ByteCursor(block)
+  def decode(block: Array[Byte], from: Int): Array[Long] = {
+    val cur = new ByteCursor(block, from)
     val n = cur.readUnsignedVarint().toInt
     val out = new Array[Long](n)
     var f = 0
@@ -176,8 +182,8 @@ case object RleLongs extends LongCodec {
     out.toByteArray
   }
 
-  def decode(block: Array[Byte]): Array[Long] = {
-    val cur = new ByteCursor(block)
+  def decode(block: Array[Byte], from: Int): Array[Long] = {
+    val cur = new ByteCursor(block, from)
     val n = cur.readUnsignedVarint().toInt
     val runCount = cur.readUnsignedVarint()
     val out = new Array[Long](n)
@@ -235,12 +241,12 @@ case object DeltaLongs extends LongCodec {
     out.toByteArray
   }
 
-  def decode(block: Array[Byte]): Array[Long] = {
-    val cur = new ByteCursor(block)
+  def decode(block: Array[Byte], from: Int): Array[Long] = {
+    val cur = new ByteCursor(block, from)
     val n = cur.readUnsignedVarint().toInt
     if (n == 0) return Array.emptyLongArray
     val first = cur.readSignedVarint()
-    val deltas = ForLongs.decode(java.util.Arrays.copyOfRange(block, cur.pos, block.length))
+    val deltas = ForLongs.decode(block, cur.pos)
     val out = new Array[Long](n)
     out(0) = first
     var i = 1
