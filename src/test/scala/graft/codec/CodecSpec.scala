@@ -125,6 +125,32 @@ class CodecSpec extends AnyFunSuite with GenDriven {
     }
   }
 
+  test("offset decode == whole-block decode for every codec (zero-copy entry)") {
+    // nested-block readers decode at an offset inside a larger buffer;
+    // each codec must read exactly its self-delimited block regardless of
+    // what precedes or follows it
+    val rnd = new scala.util.Random(99)
+    val bytesData = Array.tabulate(5000)(i =>
+      if (i % 7 == 0) rnd.nextInt(256).toByte else (i % 17).toByte)
+    val longsData = Array.tabulate(3000)(i =>
+      if (i % 5 == 0) rnd.nextLong() % 1000 else i.toLong)
+    def padded(block: Array[Byte]): (Array[Byte], Int) = {
+      val pre = Array.fill(rnd.nextInt(33) + 1)(rnd.nextInt(256).toByte)
+      val post = Array.fill(rnd.nextInt(17))(rnd.nextInt(256).toByte)
+      (pre ++ block ++ post, pre.length)
+    }
+    for (c <- Seq(PlainBytes, RleBytes, FlBytes, FsstBytes)) {
+      val block = c.encode(bytesData)
+      val (buf, off) = padded(block)
+      assert(c.decode(buf, off).sameElements(c.decode(block)), c.name)
+    }
+    for (c <- Seq(PlainLongs, ForLongs, RleLongs, DeltaLongs)) {
+      val block = c.encode(longsData)
+      val (buf, off) = padded(block)
+      assert(c.decode(buf, off).sameElements(c.decode(block)), c.name)
+    }
+  }
+
   test("BitWriter/BitReader round-trip at all widths") {
     val rnd = new scala.util.Random(1)
     for (width <- 0 to 64) {
