@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-
-import graft.codec.{ColumnCodec, FlBytes, ReferenceFl, RleBytes}
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** SQL-registered codec surface (SURVEY.md §2 Table B "UDF/UDAF" row,
   * §7 M5): the byte-level codecs exposed as Spark SQL functions, so a
@@ -10,10 +9,14 @@ import graft.codec.{ColumnCodec, FlBytes, ReferenceFl, RleBytes}
   * dropping into Scala — the SQL analog of the reference CLI's
   * decompress surface (/root/reference/src/main.cu:131-169).
   *
-  * All functions are deterministic pure byte transforms over BinaryType;
-  * they run inside codegen'd Project nodes (a Scala UDF here is the right
-  * tool: the kernels are opaque byte loops either way, and the hot path —
-  * bulk encode — stays in the mapPartitions kernel, not per-row SQL).
+  * Since round 4 these are NATIVE Catalyst expressions
+  * ([[CodecExpression]]), not Scala UDFs: each inlines a static kernel
+  * call into whole-stage codegen, so a Project using them compiles to one
+  * generated function with no closure invocation or catalyst<->scala
+  * conversion per row. Registration routes: [[register]] on a live
+  * session (what the engine's own queries use), or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  * build for spark-submit deployments.
   *
   *   fl_encode(bin)  -> self-describing FL bit-pack block (FlBytes;
   *                      bit-compatible with the reference fl_cpu.cu path)
@@ -31,18 +34,25 @@ object GraftFunctions {
   val Names: Seq[String] =
     Seq("fl_encode", "fl_decode", "fl_size", "rle_encode", "rle_decode", "col_decode_bytes")
 
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    def unary(name: String, mk: Expression => Expression): (String, Seq[Expression] => Expression) =
+      name -> { es: Seq[Expression] =>
+        require(es.length == 1, s"$name expects exactly 1 argument, got ${es.length}")
+        mk(es.head)
+      }
+    Seq(
+      unary("fl_encode", FlEncode),
+      unary("fl_decode", FlDecode),
+      unary("fl_size", FlSize),
+      unary("rle_encode", RleEncode),
+      unary("rle_decode", RleDecode),
+      unary("col_decode_bytes", ColDecodeBytes))
+  }
+
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("fl_encode", (data: Array[Byte]) =>
-      if (data == null) null else FlBytes.encode(data))
-    spark.udf.register("fl_decode", (block: Array[Byte]) =>
-      if (block == null) null else FlBytes.decode(block))
-    spark.udf.register("fl_size", (data: Array[Byte]) =>
-      if (data == null) null else java.lang.Long.valueOf(ReferenceFl.fileSizeOf(data)))
-    spark.udf.register("rle_encode", (data: Array[Byte]) =>
-      if (data == null) null else RleBytes.encode(data))
-    spark.udf.register("rle_decode", (block: Array[Byte]) =>
-      if (block == null) null else RleBytes.decode(block))
-    spark.udf.register("col_decode_bytes", (block: Array[Byte]) =>
-      if (block == null) null else ColumnCodec.decodeBytes(block))
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

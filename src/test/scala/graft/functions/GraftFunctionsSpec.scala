@@ -53,4 +53,43 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     val sourceUrls = pages.select($"url").as[String].collect().sorted
     assert(decodedUrls.toSeq == sourceUrls.toSeq)
   }
+
+  test("codec functions are native codegen'd expressions, not UDF closures") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // forbid the interpreted fallback: if the generated static-kernel call
+    // did not compile, this query would FAIL instead of silently running
+    // the slow path
+    val old = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql("""
+        SELECT sum(CASE WHEN fl_decode(fl_encode(b)) = b THEN 1 ELSE 0 END) AS fl_ok,
+               sum(CASE WHEN rle_decode(rle_encode(b)) = b THEN 1 ELSE 0 END) AS rle_ok,
+               sum(fl_size(b)) AS sz, count(*) AS n
+        FROM (SELECT CAST(concat('p-', id, repeat('x', CAST(id % 37 AS INT))) AS BINARY) AS b
+              FROM range(2000))""").as[(Long, Long, Long, Long)].head()
+      assert(r._1 == 2000L && r._2 == 2000L && r._3 > 0L && r._4 == 2000L)
+      // and the projection sits INSIDE a WholeStageCodegen span
+      val plan = spark.sql("SELECT fl_encode(CAST('a' AS BINARY))")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), s"fl_encode fell out of whole-stage codegen:\n$plan")
+      // wrong input type is a clear analysis error, not a runtime cast
+      val ex = intercept[Exception](spark.sql("SELECT fl_encode(1)").collect())
+      assert(ex.getMessage.toLowerCase.contains("binary"))
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("every SQL name has a builder producing its expression (extensions route)") {
+    val byName = GraftFunctions.builders.toMap
+    assert(byName.keySet == GraftFunctions.Names.toSet)
+    val e = byName("fl_encode")(Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+      Array[Byte](1, 2, 3))))
+    assert(e.isInstanceOf[FlEncode] && e.prettyName == "fl_encode")
+    val bad = intercept[IllegalArgumentException](byName("fl_encode")(Seq.empty))
+    assert(bad.getMessage.contains("exactly 1"))
+  }
 }
