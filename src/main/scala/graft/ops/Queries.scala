@@ -505,8 +505,12 @@ object Queries {
     // candidate set is a small fraction of the table, and dragging every
     // row through O(log d) propagation rounds was the dominant cost.
     // (edges holds both directions, so `src` alone covers all members.)
-    val touched = edges.select($"src".as("doc_id")).distinct().localCheckpoint(true)
-    var labels = touched.select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    // ONE materialization seeds both: the label table and the candidate
+    // doc set are the same rows (touched projects the cached labels RDD)
+    val labels0 = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    val touched = labels0.select($"doc_id")
+    var labels = labels0
     // COUNT-FREE convergence: each round's projection routes the new label
     // through a udf that bumps a per-round accumulator when it differs
     // from the previous round's label. The every-k-rounds EAGER cut then
