@@ -560,9 +560,10 @@ object EncodeJob {
     * from an attemptId-filtered metadata scan (parquet stats prune every
     * other attempt's files) under the chunks' ORIGINAL attemptId — which
     * is what lets the streaming replay-skip recognize a crashed "batch-N"
-    * as committed. Attempts that crashed before their chunks- marker are
-    * only reconciled under an atomic output committer
-    * ([[requireAtomicChunkCommit]]). Legacy tables without an attempts
+    * as committed. Attempts that crashed before their chunks- marker
+    * ROLL BACK instead ([[dropAttemptChunks]]): their chunk-job
+    * completion is unprovable, so their files are deleted and the batch
+    * re-encodes on resume/replay. Legacy tables without an attempts
     * dir get a one-time full-scan reconcile (distributed anti-join; only
     * actual orphans are collected), after which the marker fast path
     * applies. Returns the reconciled pid set. Safe to call any time: it
