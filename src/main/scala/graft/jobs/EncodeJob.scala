@@ -507,7 +507,7 @@ object EncodeJob {
   /** Explicit-schema METADATA scan of the chunk table: only the columns a
     * caller selects are ever read (each encoded column is a top-level
     * struct leaf), so payload bytes stay on disk. */
-  private[jobs] def chunkMetaScan(spark: SparkSession, outDir: String) =
+  private[graft] def chunkMetaScan(spark: SparkSession, outDir: String) =
     spark.read
       .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
       .format(TableIO.format(spark)).load(chunksDir(outDir))

@@ -52,7 +52,7 @@ object PipelineCli {
         val skew = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.0)
         TableIO.write(WebtextGen.pages(spark, n.toLong, seed = seed, skewShare = skew)
           .toDF(), out, org.apache.spark.sql.SaveMode.Overwrite)
-        println(s"""{"op":"gen","rows":$n,"out":"$out"}""")
+        println(s"""{"op":"gen","rows":$n,"out":${graft.JsonEscape.quote(out)}}""")
         spark.stop()
 
       // JSONL crawl-drop ingestion: schema'd read (html base64) -> Page
@@ -62,7 +62,7 @@ object PipelineCli {
         val pages = graft.sources.JsonlPages.read(spark, in)
         TableIO.write(pages.toDF(), out, org.apache.spark.sql.SaveMode.Overwrite)
         val n = TableIO.read(spark, out).count() // honors the table-format conf
-        println(s"""{"op":"ingest","rows":$n,"out":"$out"}""")
+        println(s"""{"op":"ingest","rows":$n,"out":${graft.JsonEscape.quote(out)}}""")
         spark.stop()
 
       case "encode" :: in :: outDir :: rest =>
@@ -72,11 +72,10 @@ object PipelineCli {
         // (typical raw:parquet ratio here) through the 128 MiB/pid rule
         val parts = rest.headOption match {
           case Some("auto") | None =>
-            val onDisk = {
-              def size(f: java.io.File): Long =
-                if (f.isDirectory) f.listFiles().map(size).sum else f.length()
-              size(new java.io.File(in))
-            }
+            // Hadoop FS, not java.io.File: a hdfs:///s3a:// input would
+            // read as 0 bytes locally and collapse the 128 MiB/pid rule
+            // to the 2x-cores floor — the spill regime the rule avoids
+            val onDisk = TableIO.contentLength(spark, in)
             val p = EncodeJob.suggestPartitions(onDisk * 3,
               spark.sparkContext.defaultParallelism)
             System.err.println(s"[encode] auto partitions: $p (input $onDisk bytes on disk)")
@@ -111,7 +110,7 @@ object PipelineCli {
           case other => sys.error(s"decode: bad args $other")
         }
         TableIO.write(df, out, org.apache.spark.sql.SaveMode.Overwrite)
-        println(s"""{"op":"decode","out":"$out","cols":"${rest.headOption.getOrElse("*")}"}""")
+        println(s"""{"op":"decode","out":${graft.JsonEscape.quote(out)},"cols":${graft.JsonEscape.quote(rest.headOption.getOrElse("*"))}}""")
         spark.stop()
 
       case "verify" :: in :: outDir :: Nil =>
@@ -130,7 +129,7 @@ object PipelineCli {
         val spark = session("graft-flfile-c")
         val slices = rest.headOption.map(_.toInt).getOrElse(32)
         val outBytes = FlFileJob.compress(spark, in, out, slices)
-        val inBytes = java.nio.file.Files.size(java.nio.file.Paths.get(in))
+        val inBytes = TableIO.contentLength(spark, in) // hdfs/s3a-safe
         println(f"""{"op":"flfile-c","inBytes":$inBytes,"outBytes":$outBytes,"ratio":${outBytes.toDouble / math.max(1L, inBytes)}%.4f,"slices":$slices}""")
         spark.stop()
 
@@ -138,7 +137,7 @@ object PipelineCli {
         val spark = session("graft-flfile-d")
         val slices = rest.headOption.map(_.toInt).getOrElse(32)
         val rawBytes = FlFileJob.decompress(spark, in, out, slices)
-        println(s"""{"op":"flfile-d","rawBytes":$rawBytes,"out":"$out","slices":$slices}""")
+        println(s"""{"op":"flfile-d","rawBytes":$rawBytes,"out":${graft.JsonEscape.quote(out)},"slices":$slices}""")
         spark.stop()
 
       case "stats" :: outDir :: Nil =>

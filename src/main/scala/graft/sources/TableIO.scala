@@ -90,4 +90,10 @@ object TableIO {
 
   def mkdirs(spark: SparkSession, path: String): Unit =
     fs(spark, path).mkdirs(new org.apache.hadoop.fs.Path(path))
+
+  /** Total bytes under `path` (file or directory tree), via the Hadoop
+    * FS — java.io.File silently reports 0 for hdfs:///s3a:// paths,
+    * which would wreck any sizing rule built on it. */
+  def contentLength(spark: SparkSession, path: String): Long =
+    fs(spark, path).getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
 }

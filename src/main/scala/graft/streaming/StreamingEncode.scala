@@ -60,21 +60,34 @@ object StreamingEncode {
     val effCfg =
       if (cfg.boundsPinMinRows >= 0L) cfg
       else cfg.copy(boundsPinMinRows = 16L * cfg.numPartitions)
-    // Refuse to start if the streaming checkpoint is GONE while the
-    // manifest already carries batch lineage: a fresh checkpoint renumbers
+    // Refuse to start if the streaming checkpoint is GONE while the table
+    // already carries batch lineage ANYWHERE: a fresh checkpoint renumbers
     // batches from 0, so the replay-skip below would match old "batch-N"
-    // manifest rows against NEW data and silently never encode it. (The
+    // rows against NEW data and silently never encode it. Lineage is
+    // checked in the manifest AND in attempt markers AND in the chunk
+    // table — a first batch that crashed between its chunk commit and its
+    // manifest commit has batch-tagged chunks with NO manifest row, and a
+    // manifest-only guard would let reconcile rebuild them under
+    // "batch-0" and then skip the new batch 0 as a replay. (The
     // legitimate replay case — crash before the offset commit — keeps the
     // checkpoint dir and is handled by the skip.)
     val ckptExists = TableIO.exists(spark, s"$outDir/_stream_checkpoint")
-    if (!ckptExists && TableIO.exists(spark, EncodeJob.manifestDir(outDir))) {
-      val hasBatchLineage = !TableIO.read(spark, EncodeJob.manifestDir(outDir))
-        .filter(org.apache.spark.sql.functions.col("attemptId").startsWith("batch-"))
-        .isEmpty
-      require(!hasBatchLineage,
-        s"$outDir has batch-tagged manifest rows but no streaming checkpoint: batch ids " +
-          "would renumber from 0 and new data could be silently skipped as replays. " +
-          "Restore the checkpoint or encode into a fresh output dir.")
+    if (!ckptExists) {
+      def batchTagged(c: org.apache.spark.sql.Column) = c.startsWith("batch-")
+      val manifestHas =
+        TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
+          !TableIO.read(spark, EncodeJob.manifestDir(outDir))
+            .filter(batchTagged(org.apache.spark.sql.functions.col("attemptId"))).isEmpty
+      val markerHas = TableIO.listDir(spark, EncodeJob.attemptsDir(outDir))
+        .exists(n => n.startsWith("begin-batch-") || n.startsWith("chunks-batch-"))
+      val chunksHas = !manifestHas && !markerHas && // cheapest-first short-circuit
+        TableIO.exists(spark, EncodeJob.chunksDir(outDir)) &&
+        !EncodeJob.chunkMetaScan(spark, outDir)
+          .filter(batchTagged(org.apache.spark.sql.functions.col("attemptId"))).isEmpty
+      require(!(manifestHas || markerHas || chunksHas),
+        s"$outDir has batch-tagged lineage (manifest/markers/chunks) but no streaming " +
+          "checkpoint: batch ids would renumber from 0 and new data could be silently " +
+          "skipped as replays. Restore the checkpoint or encode into a fresh output dir.")
     }
     // Replays can only be the FIRST re-delivered batch(es) after a query
     // restart: within one query incarnation each batchId runs exactly

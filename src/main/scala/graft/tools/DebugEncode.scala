@@ -42,10 +42,13 @@ object DebugEncode {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(out), true)
     time("  +write parquet")(chunks.write.mode("overwrite").parquet(out))
+    // encoded columns are TOP-LEVEL struct fields (Model.scala), not an
+    // array — build the (col, codec) pairs from the five leaves
     val onDisk = time("manifest pruned read")(
       spark.read.parquet(out)
         .select($"pid", $"rows", $"rawBytes", $"encBytes",
-          arrays_zip($"cols.name".as("col"), $"cols.codec".as("codec")).as("colCodecs")))
+          array(Seq("url", "warc_ts", "html", "text", "lang").map(c =>
+            struct(lit(c).as("col"), col(s"$c.codec").as("codec"))): _*).as("colCodecs")))
     time("manifest agg")(onDisk.groupBy($"pid").agg(sum($"rows")).count())
     time("manifest explode agg")(
       onDisk.select($"pid", explode($"colCodecs").as("cc"))

@@ -38,8 +38,7 @@ object ProfileEncode {
       val p = payload.toByteArray
       println(s"text payload bytes: ${p.length}")
       time("  fsst estimateSize")(FsstBytes.estimateSize(p))
-      time("  fsst train")(FsstBytes.train(p.take(65536)))
-      val table = FsstBytes.train(p.take(65536))
+      val table = time("  fsst train")(FsstBytes.train(p.take(65536)))
       time("  fsst encodeWithTable")(FsstBytes.encodeWithTable(p, table))
       time("  fl sizeOf")(FlBytes.sizeOf(p))
       time("  fl encode")(FlBytes.encode(p))
