@@ -125,6 +125,25 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
       StreamingEncode.start(spark, inDir, outDir, cfg)
     }
     assert(ex.getMessage.contains("no streaming checkpoint"))
+
+    // --- the guard must see batch lineage even when the MANIFEST has
+    // none: a first batch that crashed between its chunk commit and its
+    // manifest commit leaves batch-tagged CHUNKS (+ markers) only — with
+    // the checkpoint also lost, reconcile would rebuild them as "batch-0"
+    // and the replay check would skip the NEW batch 0. Refuse instead.
+    rmrf(java.nio.file.Paths.get(EncodeJob.manifestDir(outDir)))
+    // (a) marker lineage alone
+    graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/chunks-batch-0")
+    val exM = intercept[IllegalArgumentException] {
+      StreamingEncode.start(spark, inDir, outDir, cfg)
+    }
+    assert(exM.getMessage.contains("batch-tagged lineage"))
+    graft.sources.TableIO.delete(spark, s"${EncodeJob.attemptsDir(outDir)}/chunks-batch-0")
+    // (b) chunk-table lineage alone (no markers, no manifest)
+    val exC = intercept[IllegalArgumentException] {
+      StreamingEncode.start(spark, inDir, outDir, cfg)
+    }
+    assert(exC.getMessage.contains("batch-tagged lineage"))
   }
 
   test("tiny first micro-batch does not pin bounds; first adequate batch does, balanced") {
