@@ -9,6 +9,18 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Recursive delete, null-safe against concurrently vanishing entries
+    * (listFiles returns null once a dir disappears) — the ONE copy every
+    * spec uses instead of five local variants. */
+  def rmrf(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val children = if (f.isDirectory) f.listFiles() else null
+      if (children != null) children.foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(path))
+  }
 }
 
 object SparkFixture {

@@ -122,6 +122,7 @@ class CodecSpec extends AnyFunSuite with GenDriven {
       xs.foreach(Varint.writeSigned(out, _))
       val cur = new ByteCursor(out.toByteArray)
       assert(xs.map(_ => cur.readSignedVarint()) == xs)
+      assert(cur.remaining == 0, "trailing bytes after the last varint")
     }
   }
 

@@ -115,8 +115,12 @@ class ColumnCodecSpec extends AnyFunSuite with GenDriven {
       val enc = ColumnCodec.encodeLongs(values, nulls, flOnly = true)
       assert(enc.codecName == "fl_plain_i64", enc.codecName)
       assert(enc.bytes.length.toLong <= enc.flBaselineBytes)
-      val (back, _) = ColumnCodec.decodeLongs(enc.bytes)
-      values.indices.foreach(i => if (nulls == null || !nulls(i)) assert(back(i) == values(i)))
+      val (back, backN) = ColumnCodec.decodeLongs(enc.bytes)
+      values.indices.foreach { i =>
+        val isNull = nulls != null && nulls(i)
+        assert((backN != null && backN(i)) == isNull, s"flOnly null mask diverged at $i")
+        if (!isNull) assert(back(i) == values(i))
+      }
     }
   }
 

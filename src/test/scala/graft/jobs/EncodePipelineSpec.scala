@@ -27,7 +27,8 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     // manifest covers all pids, has lineage fields
     val manifest = spark.read.parquet(EncodeJob.manifestDir(outDir))
     assert(manifest.select(sum($"rows")).as[Long].head() == 1000L)
-    assert(manifest.select($"codecs").count() == manifest.count())
+    assert(manifest.filter($"codecs".isNotNull and size(map_keys($"codecs")) === 5).count()
+      == manifest.count(), "every manifest row must carry all 5 column codec entries")
     val codecs = manifest.select(explode(map_values($"codecs"))).as[String].collect().toSet
     assert(codecs.nonEmpty)
     source.unpersist()
@@ -155,11 +156,7 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 6))
 
     // simulate the crash window: chunks committed, manifest commit lost
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
-    rmrf(new java.io.File(EncodeJob.manifestDir(outDir)))
+    rmrf(EncodeJob.manifestDir(outDir))
     // a real crash in this window leaves the attempt's markers behind
     // (cleanup runs only after the manifest commit) — restore them so the
     // marker-gated reconcile sees the attempt as pending
@@ -256,8 +253,9 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     // include the supplementary-plane disagreement so the distributed
     // min/max (binary/UTF-8) is pinned against the accumulator's
     // utf8Compare merge, not just ASCII-lucky
-    val uE000 = "https://x/zz"
+    val uE000 = "https://x/\uE000zz"
     val uSupp = "https://x/" + new String(Character.toChars(0x10000)) + "aa"
+    assert(uE000 > uSupp, "UTF-16 order (sanity: the two orders must disagree)")
     val extra = Seq(
       graft.model.Page(uE000, ts, Array[Byte](2), "t2", "en"),
       graft.model.Page(uSupp, ts, Array[Byte](3), "t3", "en"))
@@ -294,22 +292,29 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     val source = WebtextGen.pages(spark, 400L, seed = 9L)
     EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 3))
 
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        descs.add(String.valueOf(js.properties.getProperty("spark.job.description")))
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       assert(EncodeJob.reconcileOrphans(spark, outDir).isEmpty)
-      // the listener bus is async but FIFO: run a sentinel job and wait
-      // for ITS start event — any job reconcile had launched would have
-      // been counted before it
+      // the listener bus is async but FIFO: run a TAGGED sentinel job and
+      // wait for ITS OWN start event — any job reconcile had launched
+      // must then already be in the queue, identified by NOT carrying the
+      // sentinel tag (waiting for merely "one event" could be satisfied
+      // by a rogue reconcile job while the sentinel is still in flight)
+      spark.sparkContext.setJobDescription("graft-reconcile-sentinel")
       spark.sparkContext.parallelize(1 to 2, 1).count()
+      spark.sparkContext.setJobDescription(null)
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
-      assert(jobs.get() == 1,
-        s"clean-table reconcile launched ${jobs.get() - 1} jobs; must be a pure FS listing")
+      while (!descs.contains("graft-reconcile-sentinel") && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val others = scala.jdk.CollectionConverters.CollectionHasAsScala(descs).asScala
+        .filterNot(_ == "graft-reconcile-sentinel").toSeq
+      assert(others.isEmpty,
+        s"clean-table reconcile launched ${others.size} jobs ($others); must be a pure FS listing")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -319,19 +324,15 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     val source = WebtextGen.pages(spark, 300L, seed = 33L).cache()
     EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 2))
 
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
     // rebuild the pre-round-3 on-disk shape: chunks with NULL attemptId,
     // no manifest, no attempts dir
     val legacy = spark.read.parquet(EncodeJob.chunksDir(outDir))
       .withColumn("attemptId", lit(null).cast("string"))
       .localCheckpoint(true)
-    rmrf(new java.io.File(EncodeJob.chunksDir(outDir)))
+    rmrf(EncodeJob.chunksDir(outDir))
     legacy.write.parquet(EncodeJob.chunksDir(outDir))
-    rmrf(new java.io.File(EncodeJob.manifestDir(outDir)))
-    rmrf(new java.io.File(EncodeJob.attemptsDir(outDir)))
+    rmrf(EncodeJob.manifestDir(outDir))
+    rmrf(EncodeJob.attemptsDir(outDir))
 
     // one-time full-scan reconcile: distributed anti-join, fallback tag
     val pids = EncodeJob.reconcileOrphans(spark, outDir)
@@ -360,11 +361,7 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     // the chunks- marker — only begin- survives. FileOutputCommitter's
     // commitJob (v1 and v2 alike) is a SEQUENCE of renames, so the chunk
     // files on disk may be a partial subset; completion is unprovable.
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
-    rmrf(new java.io.File(EncodeJob.manifestDir(outDir)))
+    rmrf(EncodeJob.manifestDir(outDir))
     graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/begin-$tag")
 
     // reconcile must NOT launder possibly-partial files into lineage: the

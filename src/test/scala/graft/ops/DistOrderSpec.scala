@@ -53,7 +53,7 @@ class DistOrderSpec extends AnyFunSuite with SparkFixture {
   test("ntileRanges matches exact ntile fill semantics") {
     import spark.implicits._
     // 1003 rows, 16 tiles: first 1003 % 16 = 11 buckets get 63, rest 62
-    val keys = scala.util.Random.shuffle((0L until 1003L).toVector)
+    val keys = new scala.util.Random(31L).shuffle((0L until 1003L).toVector)
     val got = DistOrder.ntileRanges(keys.map(Tuple1(_)).toDF("doc_id"), "doc_id", 16, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)

@@ -42,7 +42,7 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
 
     val decoded = DecodeJob.run(spark, outDir)
     assert(decoded.count() == 600L)
-    val source = spark.createDataset(all.toSeq.asInstanceOf[Seq[Page]])
+    val source = spark.createDataset(all.toSeq)
     assert(VerifyJob.run(spark, source, decoded).ok)
 
     // per-micro-batch lineage: two attemptIds, and batch-2 pids overlap
@@ -85,11 +85,7 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     val mSchema = mdf.schema
     val keptRows = mdf.filter($"attemptId" =!= "batch-1").collect().toSeq
     assert(keptRows.nonEmpty && keptRows.size < mdf.count())
-    def rmrfFile(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrfFile)
-      f.delete()
-    }
-    rmrfFile(new java.io.File(mPath))
+    rmrf(mPath)
     spark.createDataFrame(spark.sparkContext.parallelize(keptRows), mSchema)
       .write.parquet(mPath)
     // a real crash in this window leaves batch-1's attempt markers behind
@@ -113,14 +109,7 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     // --- whole-checkpoint LOSS is a different failure: batch ids would
     // renumber from 0 and new data could be skipped as replays — the
     // stream must refuse to start, not silently drop data
-    def rmrf(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(rmrf(_)) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rmrf(java.nio.file.Paths.get(s"$outDir/_stream_checkpoint"))
+    rmrf(s"$outDir/_stream_checkpoint")
     val ex = intercept[IllegalArgumentException] {
       StreamingEncode.start(spark, inDir, outDir, cfg)
     }
@@ -131,7 +120,7 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     // manifest commit leaves batch-tagged CHUNKS (+ markers) only — with
     // the checkpoint also lost, reconcile would rebuild them as "batch-0"
     // and the replay check would skip the NEW batch 0. Refuse instead.
-    rmrf(java.nio.file.Paths.get(EncodeJob.manifestDir(outDir)))
+    rmrf(EncodeJob.manifestDir(outDir))
     // (a) marker lineage alone
     graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/chunks-batch-0")
     val exM = intercept[IllegalArgumentException] {
