@@ -496,7 +496,14 @@ object Queries {
     // derive from the edge lineage). Edges are O(candidate pairs), so the
     // one-time Row conversion is noise.
     val edges0 = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-    val edges = cut(spark.createDataFrame(edges0.rdd, edges0.schema), 0, eager = true)
+    val edgesStripped = spark.createDataFrame(edges0.rdd, edges0.schema)
+    // pre-partition by src BEFORE the cut: the checkpoint captures the
+    // hash partitioning, so the seed groupBy and EVERY round's
+    // propagation join consume edges exchange-free — the edge set
+    // shuffles once total instead of once per round. The cut is LAZY:
+    // the labels0 job below materializes (and persists) it, so edges +
+    // seed cost ONE job instead of two
+    val edges = cut(edgesStripped.repartition($"src"), 0, eager = false)
 
     // only docs that appear in a candidate pair can ever change label —
     // isolated docs are singleton clusters BY DEFINITION and are added
@@ -505,10 +512,16 @@ object Queries {
     // candidate set is a small fraction of the table, and dragging every
     // row through O(log d) propagation rounds was the dominant cost.
     // (edges holds both directions, so `src` alone covers all members.)
-    // ONE materialization seeds both: the label table and the candidate
-    // doc set are the same rows (touched projects the cached labels RDD)
-    val labels0 = edges.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    // The seed FUSES the old select(src).distinct() with the first
+    // neighbor-min round: label = min(self, neighbors) straight off the
+    // grouped edge table (exchange-free — edges is already partitioned
+    // by src). One job replaces the distinct shuffle plus a full
+    // propagation round. ONE materialization seeds both the label table
+    // and the candidate doc set (touched projects the cached labels RDD).
+    val labels0 = edges.groupBy($"src")
+      .agg(min($"dst").as("mn"))
+      .select($"src".as("doc_id"), least($"src", $"mn").as("label"))
+      .localCheckpoint(true)
     val touched = labels0.select($"doc_id")
     var labels = labels0
     // COUNT-FREE convergence: each round's projection routes the new label
@@ -538,16 +551,25 @@ object Queries {
         newL
       }.asNondeterministic() // side-effecting: keep Catalyst from cloning it
       // pointer-jumping step (label := label of my label): halves label-
-      // chain lengths, so convergence is O(log diameter) rounds.
+      // chain lengths, so convergence is O(log diameter) rounds. The jump
+      // resolves through the PREVIOUS round's label table, not a self-join
+      // on viaNeighbors: labels is an already-cut RDD (shared, computed
+      // once), where the self-join cloned the aggregation subtree and
+      // computed it twice per round. Labels are monotone non-increasing,
+      // so jumping through the older table is still a contraction with the
+      // same fixpoint (at the fixpoint label(label(d)) = label(d)), and
+      // the change-accumulator certificate is unaffected.
       // lazy cut between checks: the next EAGER cut materializes every
       // lazy cut since the last check (and runs their change udfs) in one
       // job
       val isCheck = (rounds + 1) % CcCheckEvery == 0 || rounds + 1 >= 50
-      val next = cut(viaNeighbors.as("a")
-        .join(viaNeighbors.as("b"), col("a.label") === col("b.doc_id"), "left")
+      val vn = viaNeighbors.localCheckpoint(false)
+      val next = cut(vn.as("a")
+        .join(vn.select($"doc_id".as("jid"), $"label".as("jlabel")),
+          col("a.label") === col("jid"), "left")
         .select(col("a.doc_id"),
           markChanged(col("a.old_label"),
-            coalesce(least(col("a.label"), col("b.label")), col("a.label"))).as("label")),
+            coalesce(least(col("a.label"), col("jlabel")), col("a.label"))).as("label")),
         rounds + 1, eager = isCheck)
       labels = next
       rounds += 1
@@ -559,6 +581,8 @@ object Queries {
       }
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
+    if (spark.conf.getOption("spark.graft.cc.debug").contains("true"))
+      println(s"[graft.cc] converged in $rounds rounds")
     // isolated docs rejoin as singleton clusters (cluster_id = own id) —
     // identical output to iterating them, without the per-round shuffles.
     // (aliased BEFORE the anti-join: Union's constraint rewrite chokes on
