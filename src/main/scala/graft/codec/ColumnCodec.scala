@@ -117,6 +117,43 @@ object ColumnCodec {
     collisions * 2L * DictMaxCardinality < cnt.toLong * cnt.toLong
   }
 
+  /** Per-frame FL width stats of the VIRTUAL stream `[longs as 8-byte LE
+    * each || payload]` WITHOUT materializing the concatenation. The
+    * selector needs the FL-candidate / reference-baseline sizes on every
+    * chunk, but the concatenated stream itself only when the fl_plain
+    * form actually wins — the unconditional concat was an O(chunk) copy
+    * per column on the encode hot path. Returns (framesCount, totalBits);
+    * sizes derive from them exactly as in [[FlBytes.sizeOf]] /
+    * [[ReferenceFl.fileSizeOf]] (same frame walk, same width floor —
+    * parity is property-tested against the materialized stream in
+    * ColumnCodecSpec). */
+  private[codec] def flStreamFrames(longs: Array[Long], payload: Array[Byte]): (Long, Long) = {
+    val lenBytes = 8L * longs.length
+    val total = lenBytes + payload.length
+    if (total == 0L) return (0L, 0L)
+    val frame = ByteCodecs.FrameLength
+    val framesCount = (total + frame - 1) / frame
+    var totalBits = 0L
+    var pos = 0L
+    var f = 0L
+    while (f < framesCount) {
+      val end = math.min(total, (f + 1) * frame)
+      var w = 1
+      while (pos < end) {
+        val b =
+          if (pos < lenBytes)
+            (longs((pos >>> 3).toInt) >>> (((pos & 7L).toInt) << 3)).toInt & 0xff
+          else payload((pos - lenBytes).toInt) & 0xff
+        val vw = 32 - Integer.numberOfLeadingZeros(b)
+        if (vw > w) w = vw
+        pos += 1
+      }
+      totalBits += w.toLong * (end - f * frame)
+      f += 1
+    }
+    (framesCount, totalBits)
+  }
+
   // --------------------------------------------------------------- longs
 
   /** Encode a long column chunk; `nulls(i)` marks null rows (may be null).
@@ -149,13 +186,17 @@ object ColumnCodec {
     val deltaSize = if (flOnly) Long.MaxValue else DeltaLongs.sizeOf(present)
     val plainSize = if (flOnly) Long.MaxValue else PlainLongs.sizeOf(present)
 
-    val plainLe = longsToLeBytes(present)
-    val flSize = FlBytes.sizeOf(plainLe)
+    // LE byte stream only materialized if the FL form wins (it then feeds
+    // FlBytes.encode); sizing is virtual — see flStreamFrames
+    lazy val plainLe = longsToLeBytes(present)
+    val (flFrames, flTotalBits) = flStreamFrames(present, Array.emptyByteArray)
+    val flValueBytes = (flTotalBits + 7) / 8
+    val flSize = Varint.sizeUnsigned(8L * present.length).toLong + flFrames + flValueBytes
     // the reference FL file covers only the value bytes; a null bitmap is
     // row-validity metadata either representation must carry, so it is
     // added to both sides of the size bound
     val bitmapBytes = if (nulls != null && nulls.exists(identity)) (values.length + 7L) / 8L else 0L
-    val flBaseline = ReferenceFl.fileSizeOf(plainLe) + bitmapBytes
+    val flBaseline = flFrames + flValueBytes + ReferenceFl.HeaderBytes + bitmapBytes
 
     val (winner, _) =
       if (flOnly) ("fl_plain_i64", flSize)
@@ -230,17 +271,22 @@ object ColumnCodec {
     present.foreach { v => System.arraycopy(v, 0, payload, off, v.length); off += v.length }
     val rawBytes = payloadLen + 8L * n
 
-    // reference baseline stream: [lengths LE][payload]
-    val plainStream = {
+    // reference baseline stream [lengths LE][payload]: SIZED virtually
+    // (streaming per-frame width counter, no concat copy) and only
+    // MATERIALIZED when the fl_plain form actually wins — it then feeds
+    // FlBytes.encode in build()
+    lazy val plainStream = {
       val le = longsToLeBytes(lengths)
       val s = new Array[Byte](le.length + payload.length)
       System.arraycopy(le, 0, s, 0, le.length)
       System.arraycopy(payload, 0, s, le.length, payload.length)
       s
     }
+    val (flFrames, flTotalBits) = flStreamFrames(lengths, payload)
+    val flValueBytes = (flTotalBits + 7) / 8
     val bitmapBytes = if (nulls != null) (n + 7L) / 8L else 0L
-    val flBaseline = ReferenceFl.fileSizeOf(plainStream) + bitmapBytes
-    val flSize = FlBytes.sizeOf(plainStream)
+    val flBaseline = flFrames + flValueBytes + ReferenceFl.HeaderBytes + bitmapBytes
+    val flSize = Varint.sizeUnsigned(8L * present.length + payloadLen).toLong + flFrames + flValueBytes
 
     // dictionary candidate (exact): distinct values + best-codec codes.
     // Early abort once the column is evidently near-unique (dict = payload

@@ -87,6 +87,34 @@ class ColumnCodecSpec extends AnyFunSuite with GenDriven {
     vals.indices.foreach(i => assert(v.copyAt(i).toSeq == vals(i).toSeq))
   }
 
+  test("virtual FL sizing == materialized-stream sizing (bit parity of the width walk)") {
+    def leBytes(longs: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(longs.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      longs.foreach(bb.putLong)
+      bb.array()
+    }
+    def check(longs: Array[Long], payload: Array[Byte]): Unit = {
+      val materialized = leBytes(longs) ++ payload
+      val (frames, totalBits) = ColumnCodec.flStreamFrames(longs, payload)
+      val virtFlSize = Varint.sizeUnsigned(materialized.length.toLong).toLong + frames + (totalBits + 7) / 8
+      val virtRefSize = frames + (totalBits + 7) / 8 + ReferenceFl.HeaderBytes
+      assert(virtFlSize == FlBytes.sizeOf(materialized),
+        s"FlBytes.sizeOf mismatch at ${longs.length} longs + ${payload.length} payload")
+      assert(virtRefSize == ReferenceFl.fileSizeOf(materialized),
+        s"ReferenceFl.fileSizeOf mismatch at ${longs.length} longs + ${payload.length} payload")
+    }
+    // empty / boundary shapes the generator rarely hits
+    check(Array.emptyLongArray, Array.emptyByteArray)
+    check(Array.emptyLongArray, Array.fill[Byte](129)(0x7f))
+    check(Array.fill(16)(Long.MaxValue), Array.emptyByteArray) // lengths end exactly on a frame edge
+    check(Array(-1L, 0L, Long.MinValue), Array[Byte](0, 1, -1))
+    forAll(bytesCols) { values =>
+      val present = values.filter(_ != null)
+      check(present.map(_.length.toLong), present.flatten)
+    }
+    forAll(longCols) { case (values, _) => check(values, Array.emptyByteArray) }
+  }
+
   test("north-rule bound: encoded block <= reference FL file on same bytes") {
     forAll(bytesCols) { values =>
       val enc = ColumnCodec.encodeBytes(values)
