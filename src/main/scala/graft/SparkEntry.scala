@@ -40,6 +40,7 @@ object SparkEntry {
     // training-data pipeline ops
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_clusters" -> (qDedupClusters(_, _)),
+    "q_dedup_apply" -> (qDedupApply(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_token_count" -> (qTokenCount(_, _)),
     "q_lang_id" -> (qLangId(_, _)),
@@ -206,6 +207,37 @@ object SparkEntry {
         |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.other = e.src),
         |labels AS (SELECT doc, min(other) AS label FROM reach GROUP BY doc)
         |SELECT label AS cluster_id, count(*) AS n_docs FROM labels GROUP BY label""".stripMargin,
+    // same candidate/edge CTEs as q_dedup_clusters; the apply step labels
+    // EVERY document (reach seeds every doc, so isolated docs self-label)
+    // and keeper = "my id is my cluster's min id"
+    "q_dedup_apply" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, substr(text, CAST(u AS INT), 8) AS s
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
+        |        FROM documents)),
+        |sig AS (
+        |  SELECT doc_id, min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+        |         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, h0 AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+        |okb AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 16),
+        |mem AS (SELECT bands.doc_id, bands.band, bands.bucket FROM bands JOIN okb USING (band, bucket)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |          FROM mem a JOIN mem b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |reach(doc, other) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.other = e.src),
+        |labels AS (SELECT doc, min(other) AS label FROM reach GROUP BY doc)
+        |SELECT doc AS doc_id, label AS cluster_id,
+        |       CAST(CASE WHEN doc = label THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        |FROM labels""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -271,29 +303,57 @@ object SparkEntry {
         |  FROM embeddings, q)
         |SELECT vec_id, round(dot / (na * nb), 4) AS cos_sim FROM d
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
-    "q_embed_ivf" ->
-      """WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |dists AS (
-        |  SELECT e.vec_id, e.embedding, c.cell,
-        |         list_sum(list_transform(generate_series(1, len(e.embedding)),
-        |           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))) AS d2
-        |  FROM embeddings e, cent c),
-        |asg AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT vec_id, embedding, cell,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |    FROM dists) WHERE rn = 1),
-        |probe AS (
-        |  SELECT c.cell FROM cent c, q
-        |  ORDER BY list_sum(list_transform(generate_series(1, len(c.cv)),
-        |    i -> (CAST(c.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)) * (CAST(c.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))), c.cell
-        |  LIMIT 2)
-        |SELECT a.cell, a.vec_id,
-        |       round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
-        |       (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
-        |FROM asg a JOIN probe USING (cell), q
-        |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    // mirrors the Spark-side 2-round deterministic Lloyd build: quantized
+    // (floor(x * 2^20)) integer mean sums are aggregation-order-exact, so
+    // both engines compute bit-identical centroids; distances/cosines then
+    // use the same double arithmetic as before
+    "q_embed_ivf" -> {
+      def kmRound(prev: String, idx: Int): String =
+        s"""d$idx AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+           |           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) AS d2
+           |  FROM embeddings e, $prev c),
+           |a$idx AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT vec_id, embedding, cell,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           |    FROM d$idx) WHERE rn = 1),
+           |s$idx AS (
+           |  SELECT cell, u AS pos,
+           |         sum(CAST(floor(CAST(embedding[CAST(u AS INT)] AS DOUBLE) * 1048576) AS BIGINT)) AS sq,
+           |         count(*) AS cnt
+           |  FROM (SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS u FROM a$idx)
+           |  GROUP BY cell, u),
+           |cent$idx AS (
+           |  SELECT cell, list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576) ORDER BY pos) AS cv
+           |  FROM s$idx GROUP BY cell)""".stripMargin
+      s"""WITH cent0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |               FROM embeddings WHERE vec_id < 8),
+         |${kmRound("cent0", 1)},
+         |${kmRound("cent1", 2)},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dists AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) AS d2
+         |  FROM embeddings e, cent2 c),
+         |asg AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |probe AS (
+         |  SELECT c.cell FROM cent2 c, q
+         |  ORDER BY list_sum(list_transform(generate_series(1, len(c.cv)),
+         |    i -> (c.cv[i] - CAST(q.qv[i] AS DOUBLE)) * (c.cv[i] - CAST(q.qv[i] AS DOUBLE)))), c.cell
+         |  LIMIT 2)
+         |SELECT a.cell, a.vec_id,
+         |       round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+         |       (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+         |FROM asg a JOIN probe USING (cell), q
+         |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin
+    },
     "q_embed_lsh_buckets" ->
       ("""SELECT CAST(""" + (1 to graft.ops.Queries.EmbedLshBits).map(i =>
         s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ") +

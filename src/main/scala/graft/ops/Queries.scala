@@ -269,25 +269,56 @@ object Queries {
       .groupBy($"bucket").agg(count(lit(1)).as("cnt"), min($"vec_id").as("min_vec"))
   }
 
+  /** Lloyd rounds for the IVF build; fixed so both engines iterate
+    * identically. */
+  val IvfKmeansRounds = 2
+
+  /** Mean-update quantization scale (2^20): per-dimension sums become
+    * EXACT integer arithmetic, so the centroid means are independent of
+    * aggregation order — the property that makes a distributed k-means
+    * DuckDB-oracle-able (a raw double sum is order-dependent across
+    * shuffle partitions). floor() rather than round(): half-even vs
+    * half-up never diverges between engines. */
+  val IvfQuantScale = 1048576d
+
   /** IVF-style ANN (the scale path next to brute-force q_embed_topk and
-    * the sign-LSH buckets): deterministic coarse centroids (vectors
-    * 0..7), every vector assigned to its nearest cell (tie-broken by
-    * cell id), then the query probes only the 2 nearest cells and ranks
-    * exact cosine inside them. At 100 TB the assignment is one broadcast
-    * crossJoin against 8 rows and the search touches nprobe/ncells of
-    * the data instead of all of it. */
+    * the sign-LSH buckets): a real IVF BUILD — [[IvfKmeansRounds]]
+    * deterministic Lloyd iterations seeded from vectors 0..7 (broadcast
+    * centroid assignment, quantized exact-integer mean update), then
+    * every vector assigned to its nearest trained cell (tie-broken by
+    * cell id), and the query probes only the 2 nearest cells and ranks
+    * exact cosine inside them. At 100 TB each round's assignment is one
+    * broadcast crossJoin against <=8 rows (the mean update moves 8*dim
+    * grouped rows), and the search touches nprobe/ncells of the data
+    * instead of all of it. */
   def qEmbedIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    val cent = e.filter($"vec_id" < 8).select($"vec_id".as("cell"), $"embedding".as("cv"))
-    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
     def dist2(a: String, b: String) = expr(
       s"aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)")
     // nearest cell per vector (rank within vec_id: scalable partitioned window)
     val byVec = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
-    val assigned = e.crossJoin(broadcast(cent))
+    def assign(cent: DataFrame): DataFrame = e.crossJoin(broadcast(cent))
       .select($"vec_id", $"embedding", $"cell", dist2("embedding", "cv").as("d2"))
       .withColumn("rn", row_number().over(byVec)).filter($"rn" === 1)
       .select($"vec_id", $"embedding", $"cell")
+    var cent = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+    for (_ <- 1 to IvfKmeansRounds) {
+      // mean update: per-(cell, dim) quantized integer sums (order-exact),
+      // one double division at the end; a cell that loses every vector
+      // drops out (both engines agree — their groupBys drop it alike)
+      cent = assign(cent)
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"cell", $"pos", floor($"v".cast("double") * IvfQuantScale).as("qv"))
+        .groupBy($"cell", $"pos")
+        .agg(sum($"qv").as("sq"), count(lit(1)).as("cnt"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"pos",
+          ($"sq".cast("double") / ($"cnt".cast("double") * IvfQuantScale)).as("m")))).as("arr"))
+        .select($"cell", expr("transform(arr, x -> x.m)").as("cv"))
+    }
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val assigned = assign(cent)
     // the 2 cells nearest to the query vector
     val probed = cent.crossJoin(broadcast(q))
       .select($"cell", dist2("cv", "qv").as("d2"))
@@ -455,8 +486,15 @@ object Queries {
     * min doc_id). */
   val CcCheckEvery = 2
 
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  /** Converged min-label propagation over the LSH candidate pairs of
+    * `docs`: returns (labels, touched) where labels = (doc_id, label) for
+    * every doc that appears in a candidate pair, and touched = its
+    * doc_id projection (reads the same cached RDD). Docs NOT in the
+    * result are singleton clusters by definition (label = own id) —
+    * callers add them back without dragging the corpus through the
+    * rounds. Shared by [[qDedupClusters]] (cluster stats) and
+    * [[qDedupApply]] (labels joined back to the corpus). */
+  private def ccLabels(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     val bands = bands4(minhashSig(shingleStream(docs), 4))
     val okBuckets = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("bcnt"))
       .filter($"bcnt".between(2, 16))
@@ -583,6 +621,12 @@ object Queries {
     require(converged, s"label propagation did not converge in $rounds rounds")
     if (spark.conf.getOption("spark.graft.cc.debug").contains("true"))
       println(s"[graft.cc] converged in $rounds rounds")
+    (labels, touched)
+  }
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (labels, touched) = ccLabels(spark, docs)
     // isolated docs rejoin as singleton clusters (cluster_id = own id) —
     // identical output to iterating them, without the per-round shuffles.
     // (aliased BEFORE the anti-join: Union's constraint rewrite chokes on
@@ -592,6 +636,25 @@ object Queries {
       .select($"cluster_id", lit(1L).as("n_docs"))
     labels.groupBy($"label".as("cluster_id")).agg(count(lit(1)).as("n_docs"))
       .unionByName(singles)
+  }
+
+  /** Dedup APPLY — the step every training pipeline actually runs after
+    * clustering: cluster labels joined back onto the corpus, keeper =
+    * min doc_id per cluster (= the cluster_id itself, by construction of
+    * min-label propagation). Emits one row per document with its cluster
+    * and a keep flag; filtering `is_keeper = 1` IS the deduplicated
+    * corpus. One join of the corpus against the BOUNDED label table
+    * (candidate docs only — non-candidates coalesce to themselves
+    * map-side), so at 100 TB the corpus streams through exactly one
+    * broadcast-or-shuffle join and nothing else. */
+  def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (labels, _) = ccLabels(spark, docs)
+    docs.select($"doc_id")
+      .join(labels.select($"doc_id", $"label"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"label", $"doc_id").as("cluster_id"),
+        ($"doc_id" === coalesce($"label", $"doc_id")).cast("bigint").as("is_keeper"))
   }
 
   /** Deterministic stratified sampling: per-lang sampling rates applied
