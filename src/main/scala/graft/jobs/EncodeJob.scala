@@ -566,8 +566,17 @@ object EncodeJob {
     * re-encodes on resume/replay. Legacy tables without an attempts
     * dir get a one-time full-scan reconcile (distributed anti-join; only
     * actual orphans are collected), after which the marker fast path
-    * applies. Returns the reconciled pid set. Safe to call any time: it
-    * only completes lineage for data already on disk. */
+    * applies. Returns the reconciled pid set.
+    *
+    * CONTRACT — single writer per outDir. The begin-only path is
+    * DESTRUCTIVE: it deletes the chunk files of attempts it cannot prove
+    * committed. Against an outDir with a LIVE encode there is a window
+    * (after the live run's chunk-job commit, before it touches its
+    * chunks- marker) where a concurrent reconcile would delete freshly
+    * committed data while the live run still emits manifest rows for it.
+    * Only call this from the process that owns the encode (the batch
+    * resume path and the per-micro-batch streaming call both do), or
+    * when no encode is running against the table. */
   def reconcileOrphans(spark: SparkSession, outDir: String): Set[Int] = {
     if (!TableIO.exists(spark, chunksDir(outDir))) return Set.empty
     val attDir = attemptsDir(outDir)

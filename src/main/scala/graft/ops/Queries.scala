@@ -23,6 +23,55 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private def rmrf(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(rmrf(_)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  private val scratchHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Process-scoped scratch dir under java.io.tmpdir for the engine
+    * round-trip queries: `<prefix>-<pid>-<inputDirHash>`, wiped before
+    * each use (bench reps reuse it instead of leaking one encoded copy
+    * per call) while the pid component keeps CONCURRENT JVMs over the
+    * same input from wiping each other's in-flight encode. Dead JVMs'
+    * dirs are swept here (pid no longer alive) and this JVM's own dirs
+    * are removed by a shutdown hook, so no copy outlives its process. */
+  private def processScratch(prefix: String, dir: String): String = {
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val mine = ProcessHandle.current().pid()
+    val s = java.nio.file.Files.list(tmpRoot)
+    try s.filter(p => p.getFileName.toString.startsWith(s"$prefix-")).forEach { p =>
+      val alive = p.getFileName.toString.stripPrefix(s"$prefix-").split("-").headOption
+        .flatMap(_.toLongOption)
+        .exists(id => id == mine ||
+          ProcessHandle.of(id).map[Boolean](_.isAlive).orElse(false))
+      if (!alive) rmrf(p)
+    } finally s.close()
+    val out = tmpRoot.resolve(s"$prefix-$mine-${Integer.toHexString(dir.hashCode)}")
+    if (scratchHooked.add(out.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(out)))
+    rmrf(out)
+    out.toString
+  }
+
+  /** Ensure a checkpoint dir exists before a reliable `checkpoint()` is
+    * requested: on a cluster the caller MUST have configured one (a
+    * driver-local temp dir would scatter executor-written blocks across
+    * nodes — unreadable, lost on executor loss, defeating the feature);
+    * in local mode a temp dir is a valid target and is auto-created. */
+  private def ensureCheckpointDir(spark: SparkSession, confKey: String): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      require(spark.sparkContext.isLocal,
+        s"$confKey is set but no checkpoint dir is configured: " +
+          "call sparkContext.setCheckpointDir(<cluster-visible path, e.g. HDFS/S3>) first")
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    }
+
   // ------------------------------------------------------------ codec stats
 
   /** A7 analog: per-frame max bit width of n_chars, frame = 128 docs. */
@@ -348,6 +397,17 @@ object Queries {
     * scales: pairs are bounded per bucket, never all-pairs. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // The two bounded intermediates below are cut with localCheckpoint
+    // (executor-resident blocks — fastest, but an executor loss mid-query
+    // fails the query). For long production runs set
+    // `spark.graft.jaccard.reliableCheckpoint=true` to promote both cuts
+    // to reliable checkpoint() against the configured checkpoint dir, the
+    // same fault-tolerance escape hatch qDedupClusters offers.
+    val reliable = spark.conf
+      .getOption("spark.graft.jaccard.reliableCheckpoint").contains("true")
+    if (reliable) ensureCheckpointDir(spark, "spark.graft.jaccard.reliableCheckpoint")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // raw (non-distinct) shingle stream: stays map-side — the corpus side
     // must NEVER shuffle its full shingle set (at 100 TB that is ~the
     // corpus itself; see q_contamination's comment for the same rule)
@@ -360,10 +420,9 @@ object Queries {
     // the broadcast, the verify joins and the output — without the cut,
     // each consumer would re-run the whole signature subtree over the
     // corpus
-    val pairs = members.as("a").join(members.as("b"),
+    val pairs = cut(members.as("a").join(members.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .localCheckpoint(true)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
     // only CANDIDATE docs' shingles are ever dedup'd: the raw stream
     // semi-joins against the candidate doc set BEFORE any distinct. No
     // explicit broadcast hint: the candidate set is usually small (AQE
@@ -375,8 +434,7 @@ object Queries {
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     // (also materialized once: sh feeds sizes and BOTH sides of the
     // common-shingle join — uncut, each consumer would re-scan the corpus)
-    val sh = shRaw.join(candDocs, Seq("doc_id"), "left_semi")
-      .distinct().localCheckpoint(true)
+    val sh = cut(shRaw.join(candDocs, Seq("doc_id"), "left_semi").distinct())
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -509,18 +567,7 @@ object Queries {
     // reliable checkpoint() for fault tolerance on long runs.
     val reliableEvery = spark.conf.getOption("spark.graft.cc.checkpointEvery")
       .map(_.toInt).getOrElse(0)
-    if (reliableEvery > 0 && spark.sparkContext.getCheckpointDir.isEmpty) {
-      // a driver-local temp dir is only a valid checkpoint target in local
-      // mode; on a cluster executors would scatter checkpoint blocks over
-      // their own local disks (unreadable cross-node, lost on executor
-      // loss — defeating the feature). Fail fast instead of silently
-      // degrading durability.
-      require(spark.sparkContext.isLocal,
-        "spark.graft.cc.checkpointEvery is set but no checkpoint dir is configured: " +
-          "call sparkContext.setCheckpointDir(<cluster-visible path, e.g. HDFS/S3>) first")
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
-    }
+    if (reliableEvery > 0) ensureCheckpointDir(spark, "spark.graft.cc.checkpointEvery")
     def cut(df: DataFrame, round: Int, eager: Boolean): DataFrame =
       if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint(eager)
       else df.localCheckpoint(eager)
@@ -747,22 +794,9 @@ object Queries {
         $"text",
         $"lang")
       .as[Page](Encoders.product[Page])
-    // one deterministic scratch dir per (process, input dir), wiped
-    // before each encode: repeated invocations (bench reps, repeated
-    // oracle runs) reuse it instead of leaking one encoded table copy per
-    // call, and the pid component keeps CONCURRENT JVMs over the same
-    // input (e.g. Bench and Verify in parallel) from wiping each other's
-    // in-flight encode mid-decode
-    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-engine-rt-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}").toString
-    def rmrf(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(rmrf(_)) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rmrf(java.nio.file.Paths.get(out))
+    // deterministic scratch dir per (process, input dir) with stale-pid
+    // sweep + shutdown-hook cleanup — see [[processScratch]]
+    val out = processScratch("graft-engine-rt", dir)
     EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
     DecodeJob.runProjected(spark, out, Seq("url", "text", "lang"))
       .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")
@@ -785,16 +819,7 @@ object Queries {
         $"text",
         $"lang")
       .as[Page](Encoders.product[Page])
-    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-engine-rtr-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}").toString
-    def rmrf(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(rmrf(_)) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rmrf(java.nio.file.Paths.get(out))
+    val out = processScratch("graft-engine-rtr", dir)
     EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
     val lo = "https://doc.example/%09d".format(100L)
     val hi = "https://doc.example/%09d".format(299L)

@@ -54,10 +54,14 @@ object TableIO {
   }
 
   /** Atomic-enough text write: content goes to a temp sibling first, then
-    * renames over the target. A crash mid-write leaves only the temp file
-    * — the target is either absent (recomputable) or complete, never
-    * truncated. (An in-place create/write/close could leave a half-written
-    * bounds.json that poisons every later resume.) */
+    * renames over the target with OVERWRITE semantics (FileContext rename
+    * — one atomic step on HDFS/local, so the target is either the old or
+    * the new complete content, never truncated or absent). A crash
+    * mid-write leaves only the temp file. On filesystems without
+    * FileContext support it falls back to delete-then-rename, and on
+    * object stores rename itself is copy+delete — there the guarantee is
+    * best-effort only; every file written through here (bounds.json,
+    * sidecars) is recomputable, so a lost target re-derives. */
   def writeTextFile(spark: SparkSession, path: String, content: String): Unit = {
     val f = fs(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
@@ -65,8 +69,16 @@ object TableIO {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    require(f.rename(tmp, target), s"rename $tmp -> $target failed")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+           _: UnsupportedOperationException =>
+        if (f.exists(target)) f.delete(target, false)
+        require(f.rename(tmp, target), s"rename $tmp -> $target failed")
+    }
   }
 
   /** File names directly under `dir` (non-recursive); empty if missing.

@@ -46,6 +46,15 @@ import graft.sources.TableIO
   */
 object StreamingEncode {
 
+  /** Per-batch committed sidecars live in a SUBDIR of the attempts dir so
+    * the reconcile fast path's top-level listing sees ONE extra entry, not
+    * one per committed batch — the sidecar set grows with the stream's
+    * lifetime, but nothing ever lists it in the steady state: the replay
+    * probe checks a single exact path (O(1) on any store) and only the
+    * start-time checkpoint-loss guard lists the dir once. */
+  private def committedMarker(outDir: String, tag: String): String =
+    s"${EncodeJob.attemptsDir(outDir)}/committed/$tag"
+
   /** Start the incremental encoder. With the default AvailableNow trigger
     * the query drains everything currently in `inDir` and stops — the
     * batch-friendly mode; pass ProcessingTime for a long-running tail. */
@@ -79,7 +88,9 @@ object StreamingEncode {
           !TableIO.read(spark, EncodeJob.manifestDir(outDir))
             .filter(batchTagged(org.apache.spark.sql.functions.col("attemptId"))).isEmpty
       val markerHas = TableIO.listDir(spark, EncodeJob.attemptsDir(outDir))
-        .exists(n => n.startsWith("begin-batch-") || n.startsWith("chunks-batch-"))
+          .exists(n => n.startsWith("begin-batch-") || n.startsWith("chunks-batch-")) ||
+        TableIO.listDir(spark, s"${EncodeJob.attemptsDir(outDir)}/committed")
+          .exists(_.startsWith("batch-"))
       val chunksHas = !manifestHas && !markerHas && // cheapest-first short-circuit
         TableIO.exists(spark, EncodeJob.chunksDir(outDir)) &&
         !EncodeJob.chunkMetaScan(spark, outDir)
@@ -111,12 +122,24 @@ object StreamingEncode {
         // replay check below recognizes the batch as committed instead
         // of re-encoding it into duplicates
         EncodeJob.reconcileOrphans(spark, outDir)
-        val replayed =
-          !sawFreshBatch &&
-            TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
-            !TableIO.read(spark, EncodeJob.manifestDir(outDir))
-              .filter(org.apache.spark.sql.functions.col("attemptId") === tag)
-              .isEmpty
+        // replay probe, cheapest evidence first: the committed SIDECAR is
+        // one exact-path existence check — O(1) however many batches have
+        // ever committed. The attemptId-filtered manifest read (parquet
+        // stats prune other attempts' row groups) only runs as a FALLBACK
+        // for batches committed without a sidecar: a crash inside the
+        // run->touch window, or manifest rows rebuilt by reconcile. A hit
+        // there repairs the sidecar so the next restart is O(1) again.
+        val replayed = !sawFreshBatch && {
+          TableIO.exists(spark, committedMarker(outDir, tag)) || {
+            val inManifest =
+              TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
+                !TableIO.read(spark, EncodeJob.manifestDir(outDir))
+                  .filter(org.apache.spark.sql.functions.col("attemptId") === tag)
+                  .isEmpty
+            if (inManifest) TableIO.touch(spark, committedMarker(outDir, tag))
+            inManifest
+          }
+        }
         if (!replayed) sawFreshBatch = true
         // scalastyle:off println — operational one-liners, mirror PipelineCli
         if (replayed) {
@@ -127,6 +150,10 @@ object StreamingEncode {
           val pages = batch.as[Page](Encoders.product[Page])
           val r = EncodeJob.run(spark, pages, outDir,
             effCfg.copy(resume = false, attemptId = Some(tag)))
+          // manifest is committed once run returns — record the O(1)
+          // replay sidecar (a crash before this touch is covered by the
+          // probe's manifest fallback)
+          TableIO.touch(spark, committedMarker(outDir, tag))
           // Result aggregates the WHOLE manifest dir, which accumulates one
           // row set per micro-batch — label these as running totals
           println(s"""{"op":"stream-encode","batchId":$batchId,"rowsTotal":${r.rows},""" +

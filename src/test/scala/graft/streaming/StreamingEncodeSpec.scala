@@ -71,7 +71,29 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     // fails the rename as if another query owned the log
     java.nio.file.Files.deleteIfExists(
       commits.last.toPath.resolveSibling(s".${commits.last.getName}.crc"))
-    StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+    // the skip must ride the O(1) committed sidecar: the whole replay
+    // restart — reconcile (marker fast path) + probe + skip — launches
+    // ZERO Spark jobs, so the probe's cost cannot scale with the number
+    // of committed batches (same sentinel technique as EncodePipelineSpec)
+    val replayJobDescs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val replayListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        replayJobDescs.add(String.valueOf(js.properties.getProperty("spark.job.description")))
+    }
+    spark.sparkContext.addSparkListener(replayListener)
+    try {
+      StreamingEncode.start(spark, inDir, outDir, cfg).awaitTermination()
+      spark.sparkContext.setJobDescription("graft-replay-sentinel")
+      spark.sparkContext.parallelize(1 to 2, 1).count()
+      spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!replayJobDescs.contains("graft-replay-sentinel") && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val others = scala.jdk.CollectionConverters.CollectionHasAsScala(replayJobDescs).asScala
+        .filterNot(_ == "graft-replay-sentinel").toSeq
+      assert(others.isEmpty,
+        s"sidecar-backed replay skip launched ${others.size} jobs ($others); must be O(1) FS checks")
+    } finally spark.sparkContext.removeSparkListener(replayListener)
     assert(DecodeJob.run(spark, outDir).count() == 600L, "replayed batch appended duplicates")
     assert(spark.read.parquet(EncodeJob.manifestDir(outDir))
       .select($"attemptId").distinct().count() == 2L)
@@ -90,9 +112,13 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
       .write.parquet(mPath)
     // a real crash in this window leaves batch-1's attempt markers behind
     // (they are only deleted AFTER the manifest commit) — restore them, so
-    // the marker-gated reconcile sees the attempt as pending
+    // the marker-gated reconcile sees the attempt as pending. It also
+    // precedes the committed-sidecar touch, so the sidecar must be absent
+    // too: the replay probe then exercises its manifest FALLBACK (against
+    // the reconcile-rebuilt rows) and repairs the sidecar
     graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/begin-batch-1")
     graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/chunks-batch-1")
+    graft.sources.TableIO.delete(spark, s"${EncodeJob.attemptsDir(outDir)}/committed/batch-1")
     val commits2 = new java.io.File(s"$outDir/_stream_checkpoint/commits").listFiles()
       .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
     java.nio.file.Files.delete(commits2.last.toPath)
@@ -105,6 +131,10 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     assert(reconciled.filter($"attemptId" === "batch-1").count() > 0,
       "reconcile did not rebuild the lost batch-1 manifest rows under its own tag")
     assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
+    // the manifest-fallback hit repaired the O(1) sidecar
+    assert(graft.sources.TableIO.exists(spark,
+      s"${EncodeJob.attemptsDir(outDir)}/committed/batch-1"),
+      "replay probe's manifest fallback did not repair the committed sidecar")
 
     // --- whole-checkpoint LOSS is a different failure: batch ids would
     // renumber from 0 and new data could be skipped as replays — the
@@ -121,6 +151,7 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     // the checkpoint also lost, reconcile would rebuild them as "batch-0"
     // and the replay check would skip the NEW batch 0. Refuse instead.
     rmrf(EncodeJob.manifestDir(outDir))
+    rmrf(s"${EncodeJob.attemptsDir(outDir)}/committed") // isolate each evidence source
     // (a) marker lineage alone
     graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/chunks-batch-0")
     val exM = intercept[IllegalArgumentException] {
@@ -128,7 +159,14 @@ class StreamingEncodeSpec extends AnyFunSuite with SparkFixture {
     }
     assert(exM.getMessage.contains("batch-tagged lineage"))
     graft.sources.TableIO.delete(spark, s"${EncodeJob.attemptsDir(outDir)}/chunks-batch-0")
-    // (b) chunk-table lineage alone (no markers, no manifest)
+    // (b) committed-sidecar lineage alone (no markers, no manifest)
+    graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/committed/batch-0")
+    val exS = intercept[IllegalArgumentException] {
+      StreamingEncode.start(spark, inDir, outDir, cfg)
+    }
+    assert(exS.getMessage.contains("batch-tagged lineage"))
+    rmrf(s"${EncodeJob.attemptsDir(outDir)}/committed")
+    // (c) chunk-table lineage alone (no markers, no sidecars, no manifest)
     val exC = intercept[IllegalArgumentException] {
       StreamingEncode.start(spark, inDir, outDir, cfg)
     }
