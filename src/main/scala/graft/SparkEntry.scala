@@ -60,6 +60,8 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified(_, _)),
     "q_vocab_topk" -> (qVocabTopk(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
+    "q_chunk_windows" -> (qChunkWindows(_, _)),
+    "q_repetition" -> (qRepetition(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_engine_roundtrip" -> (qEngineRoundtrip(_, _)),
     "q_engine_rt_range" -> (qEngineRtRange(_, _)),
@@ -455,6 +457,28 @@ object SparkEntry {
         |SELECT source, shard, CAST(floor(start_off / 16384) AS BIGINT) AS bin,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM x GROUP BY source, shard, bin""".stripMargin,
+    // Spark sequence() end is INCLUSIVE, DuckDB range() end is exclusive
+    // — hence the +1 (same convention as the shingle CTEs)
+    "q_chunk_windows" ->
+      """SELECT doc_id,
+        |       CAST((u - 1) / 384 AS BIGINT) AS chunk_id,
+        |       CAST(length(substr(text, CAST(u AS INT), 512)) AS BIGINT) AS n_chunk_chars,
+        |       md5(substr(text, CAST(u AS INT), 512)) AS chunk_fp
+        |FROM (SELECT doc_id, text,
+        |             unnest(range(1, greatest(1, length(text)) + 1, 384)) AS u
+        |      FROM documents)""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_words,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |       CASE WHEN len(toks) > 0
+        |            THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4)
+        |            ELSE 0.0 END AS rep_ratio
+        |FROM t""".stripMargin,
     "q_contamination" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 8) AS s

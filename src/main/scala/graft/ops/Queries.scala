@@ -406,8 +406,8 @@ object Queries {
     val reliable = spark.conf
       .getOption("spark.graft.jaccard.reliableCheckpoint").contains("true")
     if (reliable) ensureCheckpointDir(spark, "spark.graft.jaccard.reliableCheckpoint")
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def cut(df: DataFrame, eager: Boolean = true): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
     // raw (non-distinct) shingle stream: stays map-side — the corpus side
     // must NEVER shuffle its full shingle set (at 100 TB that is ~the
     // corpus itself; see q_contamination's comment for the same rule)
@@ -420,9 +420,12 @@ object Queries {
     // the broadcast, the verify joins and the output — without the cut,
     // each consumer would re-run the whole signature subtree over the
     // corpus
+    // LAZY cut: sh's eager materialization below computes (and persists)
+    // the pair RDD as part of its own job — one job covers both cuts
     val pairs = cut(members.as("a").join(members.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
+      eager = false)
     // only CANDIDATE docs' shingles are ever dedup'd: the raw stream
     // semi-joins against the candidate doc set BEFORE any distinct. No
     // explicit broadcast hint: the candidate set is usually small (AQE
@@ -752,6 +755,39 @@ object Queries {
       .groupBy($"source", $"shard", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
   }
+
+  /** Training-sequence chunking: each document cut into fixed 512-char
+    * windows at stride 384 (128-char overlap) — the "chunk documents
+    * into training sequences" op. Pure row-local explode (narrow, no
+    * shuffle, embarrassingly parallel at any scale); trailing partial
+    * chunks are kept, as real pipelines do. The fingerprint ties each
+    * chunk's CONTENT into the oracle hash, so the compare proves both
+    * engines cut identical windows. */
+  def qChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(lit(1), length($"text")), lit(384))).as("start"))
+      .select(
+        $"doc_id",
+        (($"start" - 1) / 384).cast("bigint").as("chunk_id"),
+        length(expr("substring(text, start, 512)")).cast("bigint").as("n_chunk_chars"),
+        md5(expr("substring(text, start, 512)").cast("binary")).as("chunk_fp"))
+
+  /** Within-document repetition / quality signals, computed ROW-LOCALLY
+    * with array functions — no tokenize-shuffle: n_words, distinct
+    * words, and the repetition ratio a quality filter thresholds on.
+    * At 100 TB this is a narrow projection; the distinct count never
+    * leaves the row. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id", expr("filter(split(text, ' ', -1), x -> length(x) > 0)").as("toks"))
+      .select(
+        $"doc_id",
+        size($"toks").cast("bigint").as("n_words"),
+        size(array_distinct($"toks")).cast("bigint").as("n_distinct"),
+        when(size($"toks") > 0,
+          round(lit(1.0) - size(array_distinct($"toks")).cast("double") / size($"toks").cast("double"), 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
 
   /** Benchmark decontamination: flag corpus documents sharing any 8-gram
     * shingle with a (small) benchmark set — the eval-leak check every

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.streaming.SessionizeStream.{Ev, SessionOut}
+
+/** Stateful-streaming sessionizer (flatMapGroupsWithState) vs the batch
+  * window query: identical closed sessions on the same events, with
+  * events arriving across micro-batches and sessions closing both by
+  * successor-event and by watermark timeout. */
+class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(minutes: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+
+  test("streaming sessions == batch qSessionize on the same events") {
+    import spark.implicits._
+
+    // three users, sessions split by >30-min gaps; user 2's second
+    // session spans the two micro-batches (state must carry across)
+    val batch1 = Seq(
+      Ev(1L, 1L, ts(0), 1.00), Ev(1L, 2L, ts(10), 2.00), // u1 s1
+      Ev(2L, 3L, ts(0), 0.50),                           // u2 s1
+      Ev(2L, 4L, ts(45), 1.25),                          // u2 s2 (gap 45m)
+      Ev(3L, 5L, ts(5), 3.00))                           // u3 s1
+    val batch2 = Seq(
+      Ev(2L, 6L, ts(60), 0.25),  // extends u2 s2 (15m gap)
+      Ev(1L, 7L, ts(55), 4.00),  // u1 s2 (45m gap)
+      Ev(3L, 8L, ts(20), 1.00))  // extends u3 s1 (15m gap)
+    val all = batch1 ++ batch2
+
+    // ---- batch reference: the SAME events through Queries.qSessionize
+    val dir = tmpDir("graft-sess-batch")
+    spark.createDataset(all).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = graft.ops.Queries.qSessionize(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime, r.getLong(5)))
+      .toSet
+
+    // ---- streaming: two micro-batches + watermark nudges to time out
+    // the still-open sessions (timeouts fire in the batch AFTER the
+    // watermark advances past end + gap)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    // 60-min delay: covers the spec's cross-batch event-time disorder
+    // (batch2 carries events older than batch1's max) AND keeps every
+    // user's state alive until its real successor arrives, so the
+    // streaming ordinals match the batch ones here (see the
+    // bounded-state tradeoff note in SessionizeStream's scaladoc)
+    val sessions = SessionizeStream.sessions(
+      in.toDS().withWatermark("ts", "60 minutes"))
+    val q = sessions.writeStream
+      .format("memory").queryName("graft_sessions").outputMode("append")
+      .start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // sentinel user far in the future: advances the watermark past
+      // every open session's end + gap; second nudge runs a batch UNDER
+      // the advanced watermark so the timeouts actually fire
+      in.addData(Ev(999L, 100L, ts(10000), 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(999L, 101L, ts(10001), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("graft_sessions").as[SessionOut]
+      .collect()
+      .filter(_.user_id != 999L)
+      .map(s => (s.user_id, s.session_id, s.n_events,
+        s.t_start.getTime, s.t_end.getTime, s.cents))
+      .toSet
+
+    assert(got == expected,
+      s"streaming sessions != batch sessions\n got: $got\n exp: $expected")
+    // sanity on the shape itself: u1 and u2 have 2 sessions, u3 has 1
+    assert(got.count(_._1 == 1L) == 2 && got.count(_._1 == 2L) == 2 &&
+      got.count(_._1 == 3L) == 1)
+    // and the cross-batch session really merged: u2 s2 has 2 events
+    assert(got.exists(s => s._1 == 2L && s._2 == 2L && s._3 == 2L))
+  }
+}
