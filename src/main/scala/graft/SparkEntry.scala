@@ -310,6 +310,10 @@ object SparkEntry {
     // both engines compute bit-identical centroids; distances/cosines then
     // use the same double arithmetic as before
     "q_embed_ivf" -> {
+      // round count and quant scale come from the SAME constants the
+      // Spark side iterates with — tuning Queries.IvfKmeansRounds /
+      // IvfQuantScale can never silently desynchronize the oracle
+      val scale = graft.ops.Queries.IvfQuantScale.toLong
       def kmRound(prev: String, idx: Int): String =
         s"""d$idx AS (
            |  SELECT e.vec_id, e.embedding, c.cell,
@@ -323,30 +327,31 @@ object SparkEntry {
            |    FROM d$idx) WHERE rn = 1),
            |s$idx AS (
            |  SELECT cell, u AS pos,
-           |         sum(CAST(floor(CAST(embedding[CAST(u AS INT)] AS DOUBLE) * 1048576) AS BIGINT)) AS sq,
+           |         sum(CAST(floor(CAST(embedding[CAST(u AS INT)] AS DOUBLE) * $scale) AS BIGINT)) AS sq,
            |         count(*) AS cnt
            |  FROM (SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS u FROM a$idx)
            |  GROUP BY cell, u),
            |cent$idx AS (
-           |  SELECT cell, list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576) ORDER BY pos) AS cv
+           |  SELECT cell, list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * $scale) ORDER BY pos) AS cv
            |  FROM s$idx GROUP BY cell)""".stripMargin
+      val n = graft.ops.Queries.IvfKmeansRounds
+      val rounds = (1 to n).map(i => kmRound(s"cent${i - 1}", i)).mkString(",\n")
       s"""WITH cent0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
          |               FROM embeddings WHERE vec_id < 8),
-         |${kmRound("cent0", 1)},
-         |${kmRound("cent1", 2)},
+         |$rounds,
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |dists AS (
          |  SELECT e.vec_id, e.embedding, c.cell,
          |         list_sum(list_transform(generate_series(1, len(e.embedding)),
          |           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) AS d2
-         |  FROM embeddings e, cent2 c),
+         |  FROM embeddings e, cent$n c),
          |asg AS (
          |  SELECT vec_id, embedding, cell FROM (
          |    SELECT vec_id, embedding, cell,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
          |    FROM dists) WHERE rn = 1),
          |probe AS (
-         |  SELECT c.cell FROM cent2 c, q
+         |  SELECT c.cell FROM cent$n c, q
          |  ORDER BY list_sum(list_transform(generate_series(1, len(c.cv)),
          |    i -> (c.cv[i] - CAST(q.qv[i] AS DOUBLE)) * (c.cv[i] - CAST(q.qv[i] AS DOUBLE)))), c.cell
          |  LIMIT 2)

@@ -49,7 +49,12 @@ object Queries {
         .flatMap(_.toLongOption)
         .exists(id => id == mine ||
           ProcessHandle.of(id).map[Boolean](_.isAlive).orElse(false))
-      if (!alive) rmrf(p)
+      // best-effort: two JVMs may sweep the same dead dir concurrently —
+      // the loser's NoSuchFile/DirectoryNotEmpty race must not fail the
+      // query that ran the incidental sweep
+      if (!alive)
+        try rmrf(p)
+        catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
     } finally s.close()
     val out = tmpRoot.resolve(s"$prefix-$mine-${Integer.toHexString(dir.hashCode)}")
     if (scratchHooked.add(out.toString))
@@ -366,6 +371,12 @@ object Queries {
           ($"sq".cast("double") / ($"cnt".cast("double") * IvfQuantScale)).as("m")))).as("arr"))
         .select($"cell", expr("transform(arr, x -> x.m)").as("cv"))
     }
+    // cache the trained <=8-row centroid table: it feeds both the corpus
+    // assignment and the probe ranking, and without the shared
+    // InMemoryRelation each consumer would re-evaluate the whole 2-round
+    // Lloyd lineage (each round a full scan of embeddings) inside the
+    // final plan. cache() (not an eager checkpoint) adds no extra job.
+    cent = cent.cache()
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
     val assigned = assign(cent)
     // the 2 cells nearest to the query vector
@@ -406,8 +417,10 @@ object Queries {
     val reliable = spark.conf
       .getOption("spark.graft.jaccard.reliableCheckpoint").contains("true")
     if (reliable) ensureCheckpointDir(spark, "spark.graft.jaccard.reliableCheckpoint")
+    // reliable cuts always eager — a lazy reliable checkpoint(false)
+    // never persists (see ccLabels' cut for the full rationale)
     def cut(df: DataFrame, eager: Boolean = true): DataFrame =
-      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(eager)
     // raw (non-distinct) shingle stream: stays map-side — the corpus side
     // must NEVER shuffle its full shingle set (at 100 TB that is ~the
     // corpus itself; see q_contamination's comment for the same rule)
@@ -571,8 +584,14 @@ object Queries {
     val reliableEvery = spark.conf.getOption("spark.graft.cc.checkpointEvery")
       .map(_.toInt).getOrElse(0)
     if (reliableEvery > 0) ensureCheckpointDir(spark, "spark.graft.cc.checkpointEvery")
+    // Reliable cuts are ALWAYS eager: a lazy Dataset.checkpoint(false)
+    // never persists and (unlike lazy localCheckpoint, whose persist
+    // registers immediately) is only written when its own RDD roots a
+    // job — which the lazy intermediate rounds never do, so a lazy
+    // reliable cut would silently provide no durability at all. Extra
+    // jobs are the accepted price of the durability mode.
     def cut(df: DataFrame, round: Int, eager: Boolean): DataFrame =
-      if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint(eager)
+      if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint(true)
       else df.localCheckpoint(eager)
 
     // The RDD[Row] round-trip on the (bounded) edge set strips the
@@ -639,14 +658,14 @@ object Queries {
         newL
       }.asNondeterministic() // side-effecting: keep Catalyst from cloning it
       // pointer-jumping step (label := label of my label): halves label-
-      // chain lengths, so convergence is O(log diameter) rounds. The jump
-      // resolves through the PREVIOUS round's label table, not a self-join
-      // on viaNeighbors: labels is an already-cut RDD (shared, computed
-      // once), where the self-join cloned the aggregation subtree and
-      // computed it twice per round. Labels are monotone non-increasing,
-      // so jumping through the older table is still a contraction with the
-      // same fixpoint (at the fixpoint label(label(d)) = label(d)), and
-      // the change-accumulator certificate is unaffected.
+      // chain lengths, so convergence is O(log diameter) rounds. The
+      // self-join runs over a LAZILY-PERSISTED copy of the round's
+      // aggregate (vn) so the aggregation subtree is computed once per
+      // round — a plan-level self-join on viaNeighbors cloned and
+      // computed it twice. (Jumping through the PREVIOUS round's labels
+      // instead would also be correct — labels are monotone, same
+      // fixpoint — but the stale jump measured 2 extra rounds and net
+      // slower.)
       // lazy cut between checks: the next EAGER cut materializes every
       // lazy cut since the last check (and runs their change udfs) in one
       // job

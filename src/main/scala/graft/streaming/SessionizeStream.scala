@@ -54,11 +54,21 @@ object SessionizeStream extends Serializable {
     t
   }
 
-  private def cents(value: Double): Long = math.round(value * 100.0)
+  /** Exactly Spark's `round(value * 100)` arithmetic (BigDecimal
+    * HALF_UP — away from zero), so streaming cents match the batch
+    * query bit-for-bit including negative half-cent values, where
+    * math.round (half-up toward +infinity) differs: -0.005 must give
+    * -1, not 0. */
+  private def cents(value: Double): Long =
+    java.math.BigDecimal.valueOf(value * 100.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
-  /** Wire the sessionizer onto a (streaming or batch) Dataset[Ev]. The
-    * caller supplies the watermark (`events.withWatermark("ts", ...)`)
-    * when streaming with event-time timeouts. */
+  /** Wire the sessionizer onto a STREAMING Dataset[Ev]; the caller
+    * supplies the watermark (`events.withWatermark("ts", ...)`), which
+    * the event-time timeouts require. NOT for batch Datasets: batch
+    * execution never fires timeouts and discards state at the end, so
+    * every user's final open session would be silently dropped — the
+    * batch analog is [[graft.ops.Queries.qSessionize]]. */
   def sessions(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
 
@@ -79,11 +89,29 @@ object SessionizeStream extends Serializable {
         sorted.foreach { e =>
           val m = micros(e.ts)
           open match {
-            case Some(s) if m - s.endMicros > gapMicros =>
+            case Some(s) if m > s.endMicros + gapMicros =>
+              // later than the open session by more than the gap: close
+              // it, start the next
               closed += close(userId, s)
               open = Some(OpenSession(s.sessionId + 1, m, m, 1L, cents(e.value)))
+            case Some(s) if m < s.startMicros - gapMicros =>
+              // cross-batch STRAGGLER older than the open session by more
+              // than the gap (admitted by the watermark delay): it cannot
+              // belong to the open session. Emit it as its own immediate
+              // session — with one open session of state we cannot revisit
+              // already-emitted earlier sessions (the bounded-state
+              // tradeoff; (user_id, t_start) stays the stable identity).
+              // It takes the open session's ordinal, which shifts up.
+              closed += SessionOut(userId, s.sessionId, 1L, toTs(m), toTs(m), cents(e.value))
+              open = Some(s.copy(sessionId = s.sessionId + 1))
             case Some(s) =>
-              open = Some(s.copy(endMicros = math.max(s.endMicros, m),
+              // within the gap on EITHER side — merge, extending start
+              // backwards for late events (batch sorts globally; a late
+              // event inside the gap must land in the same session with
+              // the same t_start)
+              open = Some(s.copy(
+                startMicros = math.min(s.startMicros, m),
+                endMicros = math.max(s.endMicros, m),
                 n = s.n + 1, cents = s.cents + cents(e.value)))
             case None =>
               open = Some(OpenSession(1L, m, m, 1L, cents(e.value)))

@@ -17,17 +17,26 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
   test("streaming sessions == batch qSessionize on the same events") {
     import spark.implicits._
 
-    // three users, sessions split by >30-min gaps; user 2's second
-    // session spans the two micro-batches (state must carry across)
+    // five users, sessions split by >30-min gaps; u2's second session
+    // spans the two micro-batches (state must carry across); u4's late
+    // batch-2 event lands BEFORE its open session's start but within
+    // the gap (must merge backwards, extending t_start); u5's batch-2
+    // straggler is older than the open session by MORE than the gap
+    // (emitted as its own session); u4's late event also carries a
+    // negative half-cent value (HALF_UP-away-from-zero parity)
     val batch1 = Seq(
       Ev(1L, 1L, ts(0), 1.00), Ev(1L, 2L, ts(10), 2.00), // u1 s1
       Ev(2L, 3L, ts(0), 0.50),                           // u2 s1
       Ev(2L, 4L, ts(45), 1.25),                          // u2 s2 (gap 45m)
-      Ev(3L, 5L, ts(5), 3.00))                           // u3 s1
+      Ev(3L, 5L, ts(5), 3.00),                           // u3 s1
+      Ev(4L, 9L, ts(100), 1.00),                         // u4 s1 (so far)
+      Ev(5L, 11L, ts(200), 1.00))                        // u5 s2-to-be
     val batch2 = Seq(
-      Ev(2L, 6L, ts(60), 0.25),  // extends u2 s2 (15m gap)
-      Ev(1L, 7L, ts(55), 4.00),  // u1 s2 (45m gap)
-      Ev(3L, 8L, ts(20), 1.00))  // extends u3 s1 (15m gap)
+      Ev(2L, 6L, ts(60), 0.25),    // extends u2 s2 (15m gap)
+      Ev(1L, 7L, ts(55), 4.00),    // u1 s2 (45m gap)
+      Ev(3L, 8L, ts(20), 1.00),    // extends u3 s1 (15m gap)
+      Ev(4L, 10L, ts(80), -0.005), // LATE: merges backwards into u4 s1
+      Ev(5L, 12L, ts(100), 2.00))  // STRAGGLER: own session before u5's open one
     val all = batch1 ++ batch2
 
     // ---- batch reference: the SAME events through Queries.qSessionize
@@ -44,13 +53,14 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
     // watermark advances past end + gap)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-    // 60-min delay: covers the spec's cross-batch event-time disorder
-    // (batch2 carries events older than batch1's max) AND keeps every
-    // user's state alive until its real successor arrives, so the
-    // streaming ordinals match the batch ones here (see the
+    // 200-min delay: covers the spec's cross-batch event-time disorder
+    // (batch2 carries events up to 100 min older than batch1's max, and
+    // the watermark would DROP anything older than max - delay) AND
+    // keeps every user's state alive until its real successor arrives,
+    // so the streaming ordinals match the batch ones here (see the
     // bounded-state tradeoff note in SessionizeStream's scaladoc)
     val sessions = SessionizeStream.sessions(
-      in.toDS().withWatermark("ts", "60 minutes"))
+      in.toDS().withWatermark("ts", "200 minutes"))
     val q = sessions.writeStream
       .format("memory").queryName("graft_sessions").outputMode("append")
       .start()
@@ -82,5 +92,11 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
       got.count(_._1 == 3L) == 1)
     // and the cross-batch session really merged: u2 s2 has 2 events
     assert(got.exists(s => s._1 == 2L && s._2 == 2L && s._3 == 2L))
+    // late event merged BACKWARDS: u4's single session starts at the
+    // late event's time and carries the negative half-cent (99 = 100-1)
+    assert(got.exists(s => s._1 == 4L && s._3 == 2L &&
+      s._4 == ts(80).getTime && s._6 == 99L))
+    // straggler became its own session; u5 ends with 2 sessions
+    assert(got.count(_._1 == 5L) == 2)
   }
 }
