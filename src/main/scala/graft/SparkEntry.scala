@@ -472,6 +472,9 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |             unnest(range(1, greatest(1, length(text)) + 1, 384)) AS u
         |      FROM documents)""".stripMargin,
+    // rep_e4 is integer arithmetic ((n-d)*10000 // n) — a double
+    // round(ratio, 4) ties at the 5th decimal for small exact rationals
+    // and the engines resolve ties differently (see qRepetition)
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -480,9 +483,9 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(len(toks) AS BIGINT) AS n_words,
         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        |       CASE WHEN len(toks) > 0
-        |            THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4)
-        |            ELSE 0.0 END AS rep_ratio
+        |       CAST(CASE WHEN len(toks) > 0
+        |            THEN (len(toks) - len(list_distinct(toks))) * 10000 // len(toks)
+        |            ELSE 0 END AS BIGINT) AS rep_e4
         |FROM t""".stripMargin,
     "q_contamination" ->
       """WITH sh AS (

@@ -375,7 +375,10 @@ object Queries {
     // assignment and the probe ranking, and without the shared
     // InMemoryRelation each consumer would re-evaluate the whole 2-round
     // Lloyd lineage (each round a full scan of embeddings) inside the
-    // final plan. cache() (not an eager checkpoint) adds no extra job.
+    // final plan. cache() (not an eager checkpoint) adds no extra job,
+    // and repeated invocations over the same input do NOT accumulate
+    // entries: CacheManager dedups by analyzed plan, so re-calls reuse
+    // the one cached relation (bounded at one 8-row entry per input dir).
     cent = cent.cache()
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
     val assigned = assign(cent)
@@ -796,17 +799,24 @@ object Queries {
     * with array functions — no tokenize-shuffle: n_words, distinct
     * words, and the repetition ratio a quality filter thresholds on.
     * At 100 TB this is a narrow projection; the distinct count never
-    * leaves the row. */
+    * leaves the row. The ratio is an exact INTEGER per-myriad
+    * ((n-d)*10000 div n): rep_ratio is a small exact rational, so a
+    * double round(x, 4) ties at the 5th decimal at real density and
+    * Spark (decimal-string HALF_UP) vs DuckDB (binary std::round)
+    * resolve such ties differently — e.g. 1 - 131/4000 rounds to .9672
+    * in Spark and .9673 in DuckDB. Integer division is identical
+    * everywhere. */
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select($"doc_id", expr("filter(split(text, ' ', -1), x -> length(x) > 0)").as("toks"))
       .select(
         $"doc_id",
         size($"toks").cast("bigint").as("n_words"),
-        size(array_distinct($"toks")).cast("bigint").as("n_distinct"),
-        when(size($"toks") > 0,
-          round(lit(1.0) - size(array_distinct($"toks")).cast("double") / size($"toks").cast("double"), 4))
-          .otherwise(lit(0.0)).as("rep_ratio"))
+        size(array_distinct($"toks")).cast("bigint").as("n_distinct"))
+      .withColumn("rep_e4",
+        when($"n_words" > 0,
+          expr("(n_words - n_distinct) * 10000L div n_words"))
+          .otherwise(lit(0L)).cast("bigint"))
 
   /** Benchmark decontamination: flag corpus documents sharing any 8-gram
     * shingle with a (small) benchmark set — the eval-leak check every

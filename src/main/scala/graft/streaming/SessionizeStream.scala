@@ -45,6 +45,10 @@ object SessionizeStream extends Serializable {
   final case class OpenSession(
       sessionId: Long, startMicros: Long, endMicros: Long, n: Long, cents: Long)
 
+  /** One time interval in the per-batch gap-merge sweep: either a new
+    * event (a point span) or the carried open session. */
+  private final case class Span(start: Long, end: Long, n: Long, cents: Long)
+
   private def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
 
@@ -83,46 +87,44 @@ object SessionizeStream extends Serializable {
         state.remove()
         out.iterator
       } else {
-        val sorted = evs.toArray.sortBy(e => (micros(e.ts), e.event_id))
-        var open = state.getOption
-        val closed = List.newBuilder[SessionOut]
-        sorted.foreach { e =>
-          val m = micros(e.ts)
-          open match {
-            case Some(s) if m > s.endMicros + gapMicros =>
-              // later than the open session by more than the gap: close
-              // it, start the next
-              closed += close(userId, s)
-              open = Some(OpenSession(s.sessionId + 1, m, m, 1L, cents(e.value)))
-            case Some(s) if m < s.startMicros - gapMicros =>
-              // cross-batch STRAGGLER older than the open session by more
-              // than the gap (admitted by the watermark delay): it cannot
-              // belong to the open session. Emit it as its own immediate
-              // session — with one open session of state we cannot revisit
-              // already-emitted earlier sessions (the bounded-state
-              // tradeoff; (user_id, t_start) stays the stable identity).
-              // It takes the open session's ordinal, which shifts up.
-              closed += SessionOut(userId, s.sessionId, 1L, toTs(m), toTs(m), cents(e.value))
-              open = Some(s.copy(sessionId = s.sessionId + 1))
-            case Some(s) =>
-              // within the gap on EITHER side — merge, extending start
-              // backwards for late events (batch sorts globally; a late
-              // event inside the gap must land in the same session with
-              // the same t_start)
-              open = Some(s.copy(
-                startMicros = math.min(s.startMicros, m),
-                endMicros = math.max(s.endMicros, m),
-                n = s.n + 1, cents = s.cents + cents(e.value)))
-            case None =>
-              open = Some(OpenSession(1L, m, m, 1L, cents(e.value)))
+        // ONE standard gap-merge sweep over time order: the batch's new
+        // events (point spans) plus the carried open session (an interval
+        // span) are merged exactly the way the batch query's global sort
+        // would group them — so same-batch straggler chains, backward
+        // merges, and chains that bridge INTO the open session all get
+        // the batch grouping. The only irrecoverable divergence left is
+        // by construction: sessions already EMITTED in earlier batches
+        // cannot merge with later stragglers (the bounded-state
+        // tradeoff; (user_id, t_start) stays the stable identity).
+        val evSpans = evs.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          .map(e => Span(micros(e.ts), micros(e.ts), 1L, cents(e.value)))
+        val spans = (state.getOption
+          .map(s => Span(s.startMicros, s.endMicros, s.n, s.cents)).toList ++ evSpans)
+          .sortBy(s => (s.start, s.end))
+        val merged = spans.foldLeft(List.empty[Span]) {
+          case (Nil, sp) => sp :: Nil
+          case (cur :: done, sp) =>
+            if (sp.start - cur.end <= gapMicros)
+              Span(cur.start, math.max(cur.end, sp.end), cur.n + sp.n, cur.cents + sp.cents) :: done
+            else sp :: cur :: done
+        }.reverse
+        if (merged.isEmpty) Iterator.empty
+        else {
+          // ordinals run sequentially from the carried session's ordinal
+          // (or 1): everything but the latest span is final — nothing can
+          // precede it anymore without being dropped by the watermark —
+          // and the latest span becomes the new open session
+          val baseId = state.getOption.map(_.sessionId).getOrElse(1L)
+          val closed = merged.init.zipWithIndex.map { case (sp, i) =>
+            SessionOut(userId, baseId + i, sp.n, toTs(sp.start), toTs(sp.end), sp.cents)
           }
-        }
-        open.foreach { s =>
-          state.update(s)
+          val last = merged.last
+          val open = OpenSession(baseId + merged.size - 1, last.start, last.end, last.n, last.cents)
+          state.update(open)
           // close via timeout once the watermark passes end + gap
-          state.setTimeoutTimestamp((s.endMicros + gapMicros) / 1000L + 1L)
+          state.setTimeoutTimestamp((open.endMicros + gapMicros) / 1000L + 1L)
+          closed.iterator
         }
-        closed.result().iterator
       }
     }
 

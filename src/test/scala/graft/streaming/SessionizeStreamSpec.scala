@@ -30,13 +30,16 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
       Ev(2L, 4L, ts(45), 1.25),                          // u2 s2 (gap 45m)
       Ev(3L, 5L, ts(5), 3.00),                           // u3 s1
       Ev(4L, 9L, ts(100), 1.00),                         // u4 s1 (so far)
-      Ev(5L, 11L, ts(200), 1.00))                        // u5 s2-to-be
+      Ev(5L, 11L, ts(200), 1.00),                        // u5 s2-to-be
+      Ev(6L, 13L, ts(300), 1.00))                        // u6 s2-to-be
     val batch2 = Seq(
       Ev(2L, 6L, ts(60), 0.25),    // extends u2 s2 (15m gap)
       Ev(1L, 7L, ts(55), 4.00),    // u1 s2 (45m gap)
       Ev(3L, 8L, ts(20), 1.00),    // extends u3 s1 (15m gap)
       Ev(4L, 10L, ts(80), -0.005), // LATE: merges backwards into u4 s1
-      Ev(5L, 12L, ts(100), 2.00))  // STRAGGLER: own session before u5's open one
+      Ev(5L, 12L, ts(100), 2.00),  // STRAGGLER: own session before u5's open one
+      Ev(6L, 14L, ts(0), 1.00),    // STRAGGLER CHAIN: these two must form
+      Ev(6L, 15L, ts(20), 2.00))   // ONE session (20m gap), before u6's open one
     val all = batch1 ++ batch2
 
     // ---- batch reference: the SAME events through Queries.qSessionize
@@ -53,14 +56,14 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
     // watermark advances past end + gap)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-    // 200-min delay: covers the spec's cross-batch event-time disorder
-    // (batch2 carries events up to 100 min older than batch1's max, and
+    // 400-min delay: covers the spec's cross-batch event-time disorder
+    // (batch2 carries events up to 300 min older than batch1's max, and
     // the watermark would DROP anything older than max - delay) AND
     // keeps every user's state alive until its real successor arrives,
     // so the streaming ordinals match the batch ones here (see the
     // bounded-state tradeoff note in SessionizeStream's scaladoc)
     val sessions = SessionizeStream.sessions(
-      in.toDS().withWatermark("ts", "200 minutes"))
+      in.toDS().withWatermark("ts", "400 minutes"))
     val q = sessions.writeStream
       .format("memory").queryName("graft_sessions").outputMode("append")
       .start()
@@ -98,5 +101,9 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
       s._4 == ts(80).getTime && s._6 == 99L))
     // straggler became its own session; u5 ends with 2 sessions
     assert(got.count(_._1 == 5L) == 2)
+    // same-batch straggler CHAIN formed one 2-event session for u6
+    assert(got.exists(s => s._1 == 6L && s._2 == 1L && s._3 == 2L &&
+      s._4 == ts(0).getTime && s._5 == ts(20).getTime))
+    assert(got.count(_._1 == 6L) == 2)
   }
 }
