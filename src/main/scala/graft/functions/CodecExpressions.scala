@@ -102,14 +102,38 @@ case class ColDecodeBytes(child: Expression) extends CodecExpression {
   override protected def withNewChildInternal(c: Expression): ColDecodeBytes = copy(child = c)
 }
 
+/** Optimizer rule: codec ROUND-TRIP ELIMINATION —
+  * `fl_decode(fl_encode(x))` and `rle_decode(rle_encode(x))` rewrite to
+  * `x`. decode(encode(x)) == x is the invariant CodecSpec property-tests
+  * for every input (and both expressions are deterministic and
+  * null-intolerant, so the null case rewrites identically: null in, null
+  * out), which makes the pair a no-op the optimizer can drop — the codec
+  * analog of Catalyst eliminating `cast(cast(x))`. Matters in practice
+  * when views/CTEs compose an encoding writer with a decoding reader:
+  * the kernel calls vanish from the generated code instead of running
+  * encode+decode per row. */
+object CodecRoundTripElimination
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case FlDecode(FlEncode(c))   => c
+      case RleDecode(RleEncode(c)) => c
+    }
+}
+
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
-  * codec functions at session build — the SparkSessionExtensions route
-  * for spark-submit deployments ([[GraftFunctions.register]] covers
-  * already-running sessions). */
+  * codec functions AND the round-trip-elimination optimizer rule at
+  * session build — the SparkSessionExtensions route for spark-submit
+  * deployments ([[GraftFunctions.register]] covers already-running
+  * sessions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(classOf[CodecExpression].getName, name), builder))
     }
+    ext.injectOptimizerRule(_ => CodecRoundTripElimination)
+  }
 }

@@ -54,5 +54,19 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
+    // DELIBERATELY does not add CodecRoundTripElimination: register() is
+    // the route the engine's own verification query (q_sql_codec) uses,
+    // and that query exists to RUN the kernels under the oracle —
+    // auto-eliding decode(encode(x)) there would turn the round-trip
+    // proof into `text = text`. Deployments get the rule via
+    // GraftExtensions; live sessions opt in with registerOptimizations.
   }
+
+  /** Opt-in live-session route for the round-trip-elimination optimizer
+    * rule (the extensions route injects it at session build). Idempotent:
+    * repeated calls never stack duplicate rule instances. */
+  def registerOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(CodecRoundTripElimination))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CodecRoundTripElimination
 }

@@ -83,6 +83,52 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("round-trip elimination rewrites decode(encode(x)) to x — and only as opt-in") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // parquet-backed, NOT a LocalRelation: ConvertToLocalRelation would
+    // otherwise evaluate the (deterministic) expressions at optimize
+    // time and the plan-shape assertions below would see neither form
+    val dir = tmpDir("graft-rt-blobs")
+    Seq((1L, "payload".getBytes("UTF-8"))).toDF("id", "b")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("rt_blobs")
+    def optimizedOf(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan
+    def hasCodecExpr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+      var found = false
+      p.transformAllExpressions {
+        case e @ (_: FlEncode | _: FlDecode | _: RleEncode | _: RleDecode) =>
+          found = true; e
+      }
+      found
+    }
+    val rtSql =
+      "SELECT fl_decode(fl_encode(b)) AS fb, rle_decode(rle_encode(b)) AS rb FROM rt_blobs"
+    // register() alone must NOT elide the pair: q_sql_codec's round-trip
+    // proof depends on the kernels actually running
+    assert(hasCodecExpr(optimizedOf(rtSql)),
+      "register() elided the round-trip — q_sql_codec's proof would be vacuous")
+    // opt-in: pairs vanish from the optimized plan, results unchanged;
+    // a bare encode (no pair) must survive
+    GraftFunctions.registerOptimizations(spark)
+    GraftFunctions.registerOptimizations(spark) // idempotent
+    assert(spark.experimental.extraOptimizations
+      .count(_ == CodecRoundTripElimination) == 1)
+    try {
+      assert(!hasCodecExpr(optimizedOf(rtSql)), "round-trip pair survived the rule")
+      assert(hasCodecExpr(optimizedOf("SELECT fl_encode(b) AS e FROM rt_blobs")),
+        "rule removed a bare encode")
+      val r = spark.sql(rtSql).collect().head
+      assert(r.getAs[Array[Byte]]("fb").toSeq == "payload".getBytes("UTF-8").toSeq)
+      assert(r.getAs[Array[Byte]]("rb").toSeq == "payload".getBytes("UTF-8").toSeq)
+    } finally {
+      // the fixture session is shared — leave no optimizer-rule residue
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == CodecRoundTripElimination)
+    }
+  }
+
   test("every SQL name has a builder producing its expression (extensions route)") {
     val byName = GraftFunctions.builders.toMap
     assert(byName.keySet == GraftFunctions.Names.toSet)
