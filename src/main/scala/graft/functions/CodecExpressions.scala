@@ -111,13 +111,23 @@ case class ColDecodeBytes(child: Expression) extends CodecExpression {
   * analog of Catalyst eliminating `cast(cast(x))`. Matters in practice
   * when views/CTEs compose an encoding writer with a decoding reader:
   * the kernel calls vanish from the generated code instead of running
-  * encode+decode per row. */
+  * encode+decode per row.
+  *
+  * CONF-GATED, default OFF ([[CodecRoundTripElimination.ConfKey]]): the
+  * engine's own verification query (q_sql_codec) PROVES the round-trip
+  * by running the kernels under the DuckDB oracle, and an
+  * always-on rewrite would silently turn that proof into `x = x` on any
+  * session built with the extensions route — codec corruption would
+  * pass verification. The rule is therefore injected everywhere but
+  * inert until the conf opts in (registerOptimizations sets it). */
 object CodecRoundTripElimination
   extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  val ConfKey = "spark.graft.optimizer.roundTripElimination"
   override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    plan.transformAllExpressions {
+    if (conf.getConfString(ConfKey, "false") != "true") plan
+    else plan.transformAllExpressions {
       case FlDecode(FlEncode(c))   => c
       case RleDecode(RleEncode(c)) => c
     }

@@ -54,19 +54,24 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
-    // DELIBERATELY does not add CodecRoundTripElimination: register() is
-    // the route the engine's own verification query (q_sql_codec) uses,
-    // and that query exists to RUN the kernels under the oracle —
+    // DELIBERATELY does not enable CodecRoundTripElimination: register()
+    // is the route the engine's own verification query (q_sql_codec)
+    // uses, and that query exists to RUN the kernels under the oracle —
     // auto-eliding decode(encode(x)) there would turn the round-trip
-    // proof into `text = text`. Deployments get the rule via
-    // GraftExtensions; live sessions opt in with registerOptimizations.
+    // proof into `text = text`. The rule itself is conf-gated (inert by
+    // default) on EVERY route; registerOptimizations is the opt-in.
   }
 
   /** Opt-in live-session route for the round-trip-elimination optimizer
-    * rule (the extensions route injects it at session build). Idempotent:
-    * repeated calls never stack duplicate rule instances. */
-  def registerOptimizations(spark: SparkSession): Unit =
+    * rule: registers the rule AND flips its gating conf on (the
+    * extensions route injects the rule at session build, but it stays
+    * inert until this conf opts in — see the rule's scaladoc for why
+    * default-on would defeat q_sql_codec's proof). Idempotent: repeated
+    * calls never stack duplicate rule instances. */
+  def registerOptimizations(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(CodecRoundTripElimination))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CodecRoundTripElimination
+    spark.conf.set(CodecRoundTripElimination.ConfKey, "true")
+  }
 }

@@ -96,7 +96,9 @@ object SessionizeStream extends Serializable {
         // by construction: sessions already EMITTED in earlier batches
         // cannot merge with later stragglers (the bounded-state
         // tradeoff; (user_id, t_start) stays the stable identity).
-        val evSpans = evs.toArray.sortBy(e => (micros(e.ts), e.event_id))
+        // one sort suffices: every merged field is order-independent
+        // among equal timestamps (start=min, end=max, n/cents commute)
+        val evSpans = evs.toArray
           .map(e => Span(micros(e.ts), micros(e.ts), 1L, cents(e.value)))
         val spans = (state.getOption
           .map(s => Span(s.startMicros, s.endMicros, s.n, s.cents)).toList ++ evSpans)

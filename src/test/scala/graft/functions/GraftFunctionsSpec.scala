@@ -109,13 +109,20 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     // proof depends on the kernels actually running
     assert(hasCodecExpr(optimizedOf(rtSql)),
       "register() elided the round-trip — q_sql_codec's proof would be vacuous")
-    // opt-in: pairs vanish from the optimized plan, results unchanged;
-    // a bare encode (no pair) must survive
-    GraftFunctions.registerOptimizations(spark)
-    GraftFunctions.registerOptimizations(spark) // idempotent
-    assert(spark.experimental.extraOptimizations
-      .count(_ == CodecRoundTripElimination) == 1)
     try {
+      // the rule present but conf off (the extensions-route default)
+      // must also not elide — otherwise any extensions-built session
+      // silently breaks the q_sql_codec proof
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CodecRoundTripElimination
+      assert(hasCodecExpr(optimizedOf(rtSql)),
+        "rule elided the round-trip with its gating conf OFF")
+      // opt-in: pairs vanish from the optimized plan, results unchanged;
+      // a bare encode (no pair) must survive
+      GraftFunctions.registerOptimizations(spark)
+      GraftFunctions.registerOptimizations(spark) // idempotent
+      assert(spark.experimental.extraOptimizations
+        .count(_ == CodecRoundTripElimination) == 1)
       assert(!hasCodecExpr(optimizedOf(rtSql)), "round-trip pair survived the rule")
       assert(hasCodecExpr(optimizedOf("SELECT fl_encode(b) AS e FROM rt_blobs")),
         "rule removed a bare encode")
@@ -123,9 +130,10 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Array[Byte]]("fb").toSeq == "payload".getBytes("UTF-8").toSeq)
       assert(r.getAs[Array[Byte]]("rb").toSeq == "payload".getBytes("UTF-8").toSeq)
     } finally {
-      // the fixture session is shared — leave no optimizer-rule residue
+      // the fixture session is shared — leave no rule or conf residue
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == CodecRoundTripElimination)
+      spark.conf.unset(CodecRoundTripElimination.ConfKey)
     }
   }
 
