@@ -32,6 +32,7 @@ object SparkEntry {
     "q_anti_join" -> (qAntiJoin(_, _)),
     "q_salted_agg" -> (qSaltedAgg(_, _)),
     "q_topk_sources" -> (qTopkSources(_, _)),
+    "q_topn_group" -> (qTopnGroup(_, _)),
     "q_set_pending" -> (qSetPending(_, _)),
     "q_window_running" -> (qWindowRunning(_, _)),
     "q_ntile_ranges" -> (qNtileRanges(_, _)),
@@ -149,6 +150,12 @@ object SparkEntry {
     "q_topk_sources" ->
       """SELECT source, count(*) AS cnt FROM documents
         |GROUP BY source ORDER BY cnt DESC, source LIMIT 10""".stripMargin,
+    "q_topn_group" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
     "q_set_pending" ->
       """SELECT CAST(doc_id % 16 AS BIGINT) AS pid FROM documents
         |EXCEPT

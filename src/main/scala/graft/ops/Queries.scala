@@ -40,7 +40,7 @@ object Queries {
     * same input from wiping each other's in-flight encode. Dead JVMs'
     * dirs are swept here (pid no longer alive) and this JVM's own dirs
     * are removed by a shutdown hook, so no copy outlives its process. */
-  private def processScratch(prefix: String, dir: String): String = {
+  private[ops] def processScratch(prefix: String, dir: String): String = {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val mine = ProcessHandle.current().pid()
     val s = java.nio.file.Files.list(tmpRoot)
@@ -176,6 +176,19 @@ object Queries {
   def qTopkSources(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").groupBy($"source").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"source").limit(10)
+
+  /** Grouped top-N (the per-key variant next to the global q_topk_*
+    * family): 3 longest documents per lang via a PARTITIONED window
+    * row_number — each group ranks inside its own partition, so no
+    * global sort and no single-partition window at any scale.
+    * Deterministic tiebreak on doc_id. */
+  def qTopnGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+    t(spark, dir, "documents")
+      .select($"lang", $"doc_id", $"n_chars", row_number().over(w).as("rk"))
+      .filter($"rk" <= 3)
+      .select($"lang", $"rk".cast("bigint").as("rk"), $"doc_id", $"n_chars")
+  }
 
   /** Resume set-op: pending = all pids EXCEPT completed. */
   def qSetPending(spark: SparkSession, dir: String): DataFrame = {

@@ -37,4 +37,40 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       assert(spark.sparkContext.getCheckpointDir.isDefined)
     } finally spark.conf.unset("spark.graft.cc.checkpointEvery")
   }
+
+  test("processScratch sweeps dead-JVM dirs, keeps live ones, wipes its own") {
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val prefix = "graft-scrtest"
+    // a stale dir from a JVM that no longer exists (pid far beyond
+    // pid_max) with content, and a dir named after THIS live JVM
+    val deadDir = tmpRoot.resolve(s"$prefix-99999999-dead")
+    java.nio.file.Files.createDirectories(deadDir)
+    java.nio.file.Files.writeString(deadDir.resolve("chunk"), "stale")
+    val mine = ProcessHandle.current().pid()
+    val liveDir = tmpRoot.resolve(s"$prefix-$mine-otherinput")
+    java.nio.file.Files.createDirectories(liveDir)
+    java.nio.file.Files.writeString(liveDir.resolve("inflight"), "keep")
+    // a non-numeric-pid name must be treated as not-alive garbage too
+    val junkDir = tmpRoot.resolve(s"$prefix-notapid-x")
+    java.nio.file.Files.createDirectories(junkDir)
+    try {
+      val out = java.nio.file.Paths.get(Queries.processScratch(prefix, "/some/input"))
+      assert(!java.nio.file.Files.exists(deadDir), "dead-JVM dir not swept")
+      assert(!java.nio.file.Files.exists(junkDir), "unparseable-pid dir not swept")
+      assert(java.nio.file.Files.exists(liveDir.resolve("inflight")),
+        "live JVM's other scratch dir was wiped")
+      // own target is returned wiped (created empty or absent, never stale)
+      assert(out.getFileName.toString.startsWith(s"$prefix-$mine-"))
+      assert(!java.nio.file.Files.exists(out.resolve("anything")))
+      // repeated call wipes again and stays stable
+      assert(Queries.processScratch(prefix, "/some/input") == out.toString)
+    } finally {
+      Seq(deadDir, liveDir, junkDir).foreach { p =>
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
 }
