@@ -13,24 +13,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - sessions are per user; a gap STRICTLY greater than `gapMinutes`
   *    between consecutive events starts a new session (micro-second
   *    precision, matching the batch query and its DuckDB oracle);
-  *  - a session closes and is EMITTED either when a later event of the
-  *    same user arrives beyond the gap, or when the event-time watermark
-  *    passes its end + gap (state timeout) — so output is append-mode
-  *    and each session is emitted exactly once;
-  *  - state per user is ONE open session (constant size — counters and
-  *    timestamps, never the event list), so state store size is
-  *    O(active users), not O(events): the property that lets this run
-  *    indefinitely at web scale. Events within a micro-batch arrive
-  *    unordered and are sorted inside the group function; cross-batch
-  *    disorder is bounded by the configured watermark delay.
-  *
-  * Bounded-state tradeoff, stated explicitly: `session_id` is the
-  * ordinal within one STATE LIFETIME. When a user's state is dropped
-  * after a timeout (that is the bound) and the user later returns, the
-  * ordinal restarts at 1 — the batch query's global per-user ordinal
-  * cannot be reproduced without O(all users ever) state. Session
-  * IDENTITY is therefore (user_id, t_start), which is stable; a global
-  * ordinal, when needed, is a trivial batch window downstream.
+  *  - state per user is the set of UNEXPIRED session spans (aggregates
+  *    only — start/end/count/cents — never the event list). Each batch's
+  *    events merge into that span set with one gap-merge sweep, so any
+  *    in-batch or cross-batch arrival order produces the same spans the
+  *    batch query's global sort would;
+  *  - emission is purely WATERMARK-driven: a span is emitted (exactly
+  *    once, append-mode) only when the watermark has passed its
+  *    end + gap — from that point no admissible event can merge into it
+  *    (anything close enough would be dropped as late), so the span is
+  *    provably final. Finality is a PREFIX of the time-sorted span list,
+  *    which is what makes the per-user ordinals exact;
+  *  - state size per user is bounded by the watermark horizon: at most
+  *    ~(delay / gap) + 1 unexpired spans (spans are separated by more
+  *    than the gap), so the store is O(active users x horizon/gap) — a
+  *    configuration bound, not a data bound. Within that contract the
+  *    output — spans, aggregates, AND ordinals — is EXACTLY the batch
+  *    query's, for ANY event disorder the watermark admits
+  *    (property-tested against random streams and random batch splits);
+  *    events later than the watermark are dropped by Spark upstream,
+  *    which is the one remaining divergence from an offline batch pass.
   */
 object SessionizeStream extends Serializable {
 
@@ -40,14 +42,13 @@ object SessionizeStream extends Serializable {
       user_id: Long, session_id: Long, n_events: Long,
       t_start: java.sql.Timestamp, t_end: java.sql.Timestamp, cents: Long)
 
-  /** Open-session state: micro timestamps + running aggregates +
-    * per-user session counter. */
-  final case class OpenSession(
-      sessionId: Long, startMicros: Long, endMicros: Long, n: Long, cents: Long)
+  /** One session span: micro timestamps + running aggregates. New events
+    * enter as point spans; the gap-merge sweep coalesces them. */
+  final case class Span(start: Long, end: Long, n: Long, cents: Long)
 
-  /** One time interval in the per-batch gap-merge sweep: either a new
-    * event (a point span) or the carried open session. */
-  private final case class Span(start: Long, end: Long, n: Long, cents: Long)
+  /** Per-user state: how many sessions were already emitted (the ordinal
+    * base) + the unexpired spans, kept sorted by start. */
+  final case class SessState(emitted: Long, spans: List[Span])
 
   private def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
@@ -76,62 +77,49 @@ object SessionizeStream extends Serializable {
   def sessions(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
 
-    def close(userId: Long, s: OpenSession): SessionOut =
-      SessionOut(userId, s.sessionId, s.n, toTs(s.startMicros), toTs(s.endMicros), s.cents)
-
-    val fn = (userId: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) => {
-      if (evs.isEmpty && state.hasTimedOut) {
-        // watermark passed end + gap: no later event can extend this
-        // session — emit and drop the state
-        val out = state.getOption.map(close(userId, _)).toList
-        state.remove()
-        out.iterator
-      } else {
-        // ONE standard gap-merge sweep over time order: the batch's new
-        // events (point spans) plus the carried open session (an interval
-        // span) are merged exactly the way the batch query's global sort
-        // would group them — so same-batch straggler chains, backward
-        // merges, and chains that bridge INTO the open session all get
-        // the batch grouping. The only irrecoverable divergence left is
-        // by construction: sessions already EMITTED in earlier batches
-        // cannot merge with later stragglers (the bounded-state
-        // tradeoff; (user_id, t_start) stays the stable identity).
-        // one sort suffices: every merged field is order-independent
-        // among equal timestamps (start=min, end=max, n/cents commute)
-        val evSpans = evs.toArray
-          .map(e => Span(micros(e.ts), micros(e.ts), 1L, cents(e.value)))
-        val spans = (state.getOption
-          .map(s => Span(s.startMicros, s.endMicros, s.n, s.cents)).toList ++ evSpans)
-          .sortBy(s => (s.start, s.end))
-        val merged = spans.foldLeft(List.empty[Span]) {
+    val fn = (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) => {
+      val prev = state.getOption.getOrElse(SessState(0L, Nil))
+      // ONE standard gap-merge sweep over time order: the carried spans
+      // plus this batch's events (point spans) coalesce exactly the way
+      // the batch query's global sort would group them — in-batch AND
+      // cross-batch disorder included. One sort suffices: every merged
+      // field is order-independent among equal timestamps (start=min,
+      // end=max, n/cents commute).
+      val evSpans = evs.toArray
+        .map(e => Span(micros(e.ts), micros(e.ts), 1L, cents(e.value)))
+      val merged = (prev.spans ++ evSpans)
+        .sortBy(s => (s.start, s.end))
+        .foldLeft(List.empty[Span]) {
           case (Nil, sp) => sp :: Nil
           case (cur :: done, sp) =>
             if (sp.start - cur.end <= gapMicros)
               Span(cur.start, math.max(cur.end, sp.end), cur.n + sp.n, cur.cents + sp.cents) :: done
             else sp :: cur :: done
         }.reverse
-        if (merged.isEmpty) Iterator.empty
-        else {
-          // ordinals run sequentially from the carried session's ordinal
-          // (or 1): everything but the latest span is final — nothing can
-          // precede it anymore without being dropped by the watermark —
-          // and the latest span becomes the new open session
-          val baseId = state.getOption.map(_.sessionId).getOrElse(1L)
-          val closed = merged.init.zipWithIndex.map { case (sp, i) =>
-            SessionOut(userId, baseId + i, sp.n, toTs(sp.start), toTs(sp.end), sp.cents)
-          }
-          val last = merged.last
-          val open = OpenSession(baseId + merged.size - 1, last.start, last.end, last.n, last.cents)
-          state.update(open)
-          // close via timeout once the watermark passes end + gap
-          state.setTimeoutTimestamp((open.endMicros + gapMicros) / 1000L + 1L)
-          closed.iterator
-        }
+      // FINALITY: a span whose end + gap the watermark has strictly
+      // passed (ms granularity — Spark admits events with tsMs >=
+      // watermarkMs, and endGapMs < wm implies any admissible event is
+      // strictly beyond the gap) can never change. Spans are pairwise
+      // more-than-gap apart, so sorted-by-start == sorted-by-end and the
+      // final set is a PREFIX — which keeps per-user ordinals exact.
+      val wm = state.getCurrentWatermarkMs()
+      val (done, open) = merged.span(sp => (sp.end + gapMicros) / 1000L < wm)
+      val out = done.zipWithIndex.map { case (sp, i) =>
+        SessionOut(userId, prev.emitted + 1L + i, sp.n, toTs(sp.start), toTs(sp.end), sp.cents)
       }
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessState(prev.emitted + done.size, open))
+        // wake when the EARLIEST remaining span becomes final (+1 ms:
+        // the timeout timestamp must exceed the current watermark, and
+        // firing means wm >= ts > endGapMs — exactly the strict test)
+        state.setTimeoutTimestamp((open.head.end + gapMicros) / 1000L + 1L)
+      }
+      out.iterator
     }
 
     implicit val outEnc = Encoders.product[SessionOut]
-    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val stateEnc = Encoders.product[SessState]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }

@@ -17,13 +17,14 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
   test("streaming sessions == batch qSessionize on the same events") {
     import spark.implicits._
 
-    // five users, sessions split by >30-min gaps; u2's second session
+    // six users, sessions split by >30-min gaps; u2's second session
     // spans the two micro-batches (state must carry across); u4's late
-    // batch-2 event lands BEFORE its open session's start but within
-    // the gap (must merge backwards, extending t_start); u5's batch-2
-    // straggler is older than the open session by MORE than the gap
-    // (emitted as its own session); u4's late event also carries a
-    // negative half-cent value (HALF_UP-away-from-zero parity)
+    // batch-2 event lands BEFORE its open span's start but within the
+    // gap (must merge backwards, extending t_start); u5's batch-2
+    // straggler is older than its open span by MORE than the gap (its
+    // own session); u6's two batch-2 stragglers chain into ONE session;
+    // u4's late event also carries a negative half-cent value
+    // (HALF_UP-away-from-zero parity)
     val batch1 = Seq(
       Ev(1L, 1L, ts(0), 1.00), Ev(1L, 2L, ts(10), 2.00), // u1 s1
       Ev(2L, 3L, ts(0), 0.50),                           // u2 s1
@@ -58,10 +59,9 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
     // 400-min delay: covers the spec's cross-batch event-time disorder
     // (batch2 carries events up to 300 min older than batch1's max, and
-    // the watermark would DROP anything older than max - delay) AND
-    // keeps every user's state alive until its real successor arrives,
-    // so the streaming ordinals match the batch ones here (see the
-    // bounded-state tradeoff note in SessionizeStream's scaladoc)
+    // the watermark would DROP anything older than max - delay); within
+    // the admitted-disorder contract the output — including ordinals —
+    // is exactly the batch query's (see SessionizeStream's scaladoc)
     val sessions = SessionizeStream.sessions(
       in.toDS().withWatermark("ts", "400 minutes"))
     val q = sessions.writeStream
@@ -105,5 +105,62 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
     assert(got.exists(s => s._1 == 6L && s._2 == 1L && s._3 == 2L &&
       s._4 == ts(0).getTime && s._5 == ts(20).getTime))
     assert(got.count(_._1 == 6L) == 2)
+  }
+
+  test("randomized equivalence: streaming == batch for random events and batch splits") {
+    import spark.implicits._
+    // With a watermark delay exceeding the whole event span, nothing is
+    // dropped and no state times out mid-stream — streaming output must
+    // then equal the batch query EXACTLY (including ordinals), whatever
+    // the batch split. Deterministic seeds; two trials keep suite time
+    // bounded while varying both event shape and split shape.
+    for (seed <- Seq(11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 120).map { i =>
+        Ev(user_id = 1L + rnd.nextInt(6),
+          event_id = i.toLong,
+          // minutes 0..600, micro-jitter via seconds so ties are rare but
+          // sub-minute gaps occur
+          ts = ts(rnd.nextInt(600).toLong),
+          value = math.round(rnd.nextDouble() * 400 - 100) / 100.0)
+      }
+      val dir = tmpDir(s"graft-sess-rand-$seed")
+      spark.createDataset(events).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val expected = graft.ops.Queries.qSessionize(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime, r.getLong(5)))
+        .toSet
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+      val qname = s"graft_sessions_rand_$seed"
+      val q = SessionizeStream.sessions(
+          in.toDS().withWatermark("ts", "700 minutes"))
+        .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      try {
+        // random contiguous split into 1..5 micro-batches
+        var rest = events
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(rest.size)
+          in.addData(rest.take(take): _*)
+          q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+        in.addData(Ev(999L, 9000L, ts(100000), 0.0))
+        q.processAllAvailable()
+        in.addData(Ev(999L, 9001L, ts(100001), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.table(qname).as[SessionOut]
+        .collect()
+        .filter(_.user_id != 999L)
+        .map(s => (s.user_id, s.session_id, s.n_events,
+          s.t_start.getTime, s.t_end.getTime, s.cents))
+        .toSet
+      assert(got == expected,
+        s"seed=$seed diverged\n only-streaming: ${got -- expected}\n only-batch: ${expected -- got}")
+    }
   }
 }
