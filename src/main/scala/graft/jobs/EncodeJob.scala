@@ -264,16 +264,29 @@ object EncodeJob {
         val w = cnt.toDouble / arr.length
         arr.map(u => (u, w))
       }.sortBy(_._1)(Utf8Ordering)
+      // can't cut finer than the sample supports: with fewer samples than
+      // requested partitions (an unsplittable giant file, sample caps),
+      // derive as many equi-weight pids as the samples allow instead of
+      // silently collapsing to "everything is pid 0" — which would funnel
+      // the whole sort+encode through one task AND, being empty, never
+      // pin, so a resume under different file splits could re-derive
+      // different bounds against the completed-pid set
+      val effParts = math.min(cfg.numPartitions, weighted.length)
+      if (weighted.nonEmpty && effParts < cfg.numPartitions)
+        // scalastyle:off println — operational warning, mirrors PipelineCli
+        System.err.println(s"[graft] WARN: only ${weighted.length} url samples for " +
+          s"${cfg.numPartitions} requested partitions — deriving $effParts pids " +
+          "(unsplittable input or tiny sample?)")
       val bounds =
-        if (weighted.length < cfg.numPartitions) Array.empty[String]
+        if (effParts <= 1) Array.empty[String]
         else {
-          val step = weighted.map(_._2).sum / cfg.numPartitions
+          val step = weighted.map(_._2).sum / effParts
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           var acc = 0.0
           var next = step
           weighted.foreach { case (u, w) =>
             acc += w
-            while (acc >= next && out.length < cfg.numPartitions - 1) { out += u; next += step }
+            while (acc >= next && out.length < effParts - 1) { out += u; next += step }
           }
           out.toArray.distinct
         }
@@ -303,7 +316,12 @@ object EncodeJob {
     } + "\""
 
   private def parseJsonStringArray(txt: String): Array[String] = {
-    // bounds are urls we wrote ourselves (quoted, \uXXXX-escaped controls)
+    // bounds are urls we wrote ourselves (jsonQuote: \uXXXX-escaped
+    // controls), but the parser accepts ALL standard JSON string escapes
+    // and REJECTS unknown ones: a bounds.json regenerated or edited by
+    // any ordinary JSON writer (which emits \n, \t, ... named escapes)
+    // must parse to the same strings, never to silently corrupted bounds
+    // that shift pid assignment against the completed-pid manifest
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < txt.length) {
@@ -313,8 +331,17 @@ object EncodeJob {
         while (txt(i) != '"') {
           if (txt(i) == '\\') {
             txt(i + 1) match {
-              case 'u' => sb.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar); i += 6
-              case c   => sb.append(c); i += 2
+              case 'u'  => sb.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar); i += 6
+              case '"'  => sb.append('"'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case '/'  => sb.append('/'); i += 2
+              case 'n'  => sb.append('\n'); i += 2
+              case 't'  => sb.append('\t'); i += 2
+              case 'r'  => sb.append('\r'); i += 2
+              case 'b'  => sb.append('\b'); i += 2
+              case 'f'  => sb.append('\f'); i += 2
+              case c    => throw new IllegalArgumentException(
+                s"unsupported escape \\$c in bounds json — refusing to guess at pid bounds")
             }
           } else { sb.append(txt(i)); i += 1 }
         }
@@ -403,8 +430,15 @@ object EncodeJob {
     // attempt lineage markers (see [[attemptsDir]]): begin- before the
     // chunk job, chunks- after its commit, both removed after the manifest
     // commit — every crash window identifies itself by which markers
-    // survive, so reconcile never has to scan for it
-    TableIO.touch(spark, migratedMarker(outDir))
+    // survive, so reconcile never has to scan for it.
+    // _migrated is stamped ONLY for fresh or already-migrated tables: a
+    // LEGACY table (chunks exist, no marker) must keep its one-time
+    // full-scan reconcile reachable — stamping it here (e.g. a
+    // resume=false run that skipped reconcileOrphans) would foreclose
+    // that migration forever and leave legacy orphan chunks invisible.
+    if (TableIO.exists(spark, migratedMarker(outDir)) ||
+        !TableIO.exists(spark, chunksDir(outDir)))
+      TableIO.touch(spark, migratedMarker(outDir))
     TableIO.touch(spark, s"${attemptsDir(outDir)}/begin-$attemptId")
     TableIO.write(chunks.toDF(), chunksDir(outDir), SaveMode.Append,
       Map("compression" -> chunkCompression))
@@ -483,7 +517,10 @@ object EncodeJob {
       if (!TableIO.exists(spark, manifestDir(outDir)))
         (0L, None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long])
       else TableIO.read(spark, manifestDir(outDir))
-        .agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
+        // DISTINCT pids, not manifest rows: a pid can carry one manifest
+        // row per attempt (streaming batches, reconcile), and rows minus
+        // completed-pid count would overcount pidsEncoded
+        .agg(countDistinct($"pid"), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
         .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])].head()
     Result(
       pidsEncoded = stats._1 - completed.size,
@@ -608,16 +645,42 @@ object EncodeJob {
   }
 
   /** Roll back attempts whose chunk-job completion is unproven: delete
-    * exactly the chunk FILES carrying their attemptId (a write job's
-    * files contain only its own attempt's rows), then clear the begin-
-    * markers. Order matters — files first, marker last — so a crash here
-    * re-runs the (idempotent) rollback. */
+    * exactly the UNMANIFESTED chunk files carrying their attemptId, then
+    * clear the begin- markers. Order matters — files first, marker last
+    * — so a crash here re-runs the (idempotent) rollback.
+    *
+    * Two guards make the rollback safe beyond the naive delete-by-tag:
+    *  - pidUpperBound waves may SHARE an attemptId, so a file whose
+    *    (pid, attemptId) already has a manifest row was committed by an
+    *    earlier COMPLETED wave — committed lineage, never a rollback
+    *    candidate (deleting it would orphan the manifest row and lose
+    *    data permanently, since the pid stays in the completed set);
+    *  - the crashed job's leftover task outputs under chunks/_temporary
+    *    are deleted too: FileOutputCommitter's next append commitJob
+    *    merges any committed task dirs it finds there, which would
+    *    RESURRECT the rolled-back attempt's rows as untracked duplicates
+    *    after the replay re-encodes. */
   private def dropAttemptChunks(spark: SparkSession, outDir: String,
                                 attempts: Set[String]): Unit = {
     import spark.implicits._
-    val files = chunkMetaScan(spark, outDir)
+    val tmp = new org.apache.hadoop.fs.Path(chunksDir(outDir), "_temporary")
+    tmp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tmp, true)
+    val meta = chunkMetaScan(spark, outDir)
       .filter($"attemptId".isin(attempts.toSeq: _*))
-      .select(input_file_name()).distinct().as[String].collect()
+      .select($"pid", $"attemptId", input_file_name().as("f"))
+    val flagged =
+      if (!TableIO.exists(spark, manifestDir(outDir))) meta.withColumn("m", lit(0))
+      else meta.join(
+          TableIO.read(spark, manifestDir(outDir))
+            .filter($"attemptId".isin(attempts.toSeq: _*))
+            .select($"pid", $"attemptId").distinct().withColumn("m", lit(1)),
+          Seq("pid", "attemptId"), "left")
+        .withColumn("m", coalesce($"m", lit(0)))
+    // per-FILE verdict: a file is deletable only if NONE of its rows are
+    // manifested (files are written per task = per pid, but don't rely
+    // on that — any manifested row vetoes the file)
+    val files = flagged.groupBy($"f").agg(max($"m").as("anyManifested"))
+      .filter($"anyManifested" === 0).select($"f").as[String].collect()
     files.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)

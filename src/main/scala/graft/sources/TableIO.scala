@@ -11,7 +11,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * same file layout an Iceberg table's data files use. On a cluster with
   * `iceberg-spark-runtime` on the classpath, setting
   * `spark.graft.table.format=iceberg` (plus the usual catalog conf)
-  * switches every IO site in one place; no job code changes.
+  * switches every read/write site in one place; no job code changes.
+  *
+  * Documented exclusion: the crash-RECOVERY surfaces — attempt-marker
+  * sidecars under `_attempts/`, the begin-only rollback's raw chunk-file
+  * deletes, and the `_temporary` cleanup — assume a directory-backed
+  * chunk table. Under a snapshot-managed format those file deletes would
+  * bypass table metadata (stale references -> FileNotFound on scan), so
+  * an Iceberg deployment must either route rollback through the table
+  * format (DELETE by attemptId + expire snapshots) or keep the CHUNK
+  * table on the directory layout and switch only input/decoded tables.
   */
 object TableIO {
 

@@ -384,4 +384,39 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
     source.unpersist()
   }
+
+  test("rollback never deletes an earlier committed wave sharing the attemptId") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-wave-protect")
+    val source = WebtextGen.pages(spark, 500L, seed = 77L).cache()
+    // wave 1 under an explicit shared tag: completes fully (chunks +
+    // manifest committed, markers cleared)
+    val r1 = EncodeJob.run(spark, source, outDir,
+      EncodeJob.Config(numPartitions = 4, pidUpperBound = Some(2),
+        attemptId = Some("job-X")))
+    assert(r1.rowsThisRun > 0L)
+    val wave1Rows = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .agg(org.apache.spark.sql.functions.sum($"rows")).as[Long].head()
+
+    // wave 2 (same tag) crashes between its chunk-job commit attempt and
+    // the chunks- marker: only begin-job-X survives. The begin-only
+    // rollback must drop ONLY unmanifested job-X files — wave 1's files
+    // have manifest rows and are committed lineage.
+    graft.sources.TableIO.touch(spark, s"${EncodeJob.attemptsDir(outDir)}/begin-job-X")
+    EncodeJob.reconcileOrphans(spark, outDir)
+
+    val survivors = spark.read.parquet(EncodeJob.chunksDir(outDir))
+      .agg(org.apache.spark.sql.functions.sum($"rows")).as[Long].head()
+    assert(survivors == wave1Rows,
+      s"rollback deleted committed wave-1 chunks ($survivors != $wave1Rows rows)")
+    // manifest still references intact data: the wave-1 pids decode
+    val decoded = DecodeJob.run(spark, outDir)
+    assert(decoded.count() == wave1Rows)
+    // and the interrupted wave resumes to completion as usual
+    val r2 = EncodeJob.run(spark, source, outDir,
+      EncodeJob.Config(numPartitions = 4, attemptId = Some("job-X")))
+    assert(r2.rows == 500L)
+    assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
+    source.unpersist()
+  }
 }
