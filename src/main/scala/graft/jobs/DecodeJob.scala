@@ -135,8 +135,16 @@ object DecodeJob {
             }
           case None => _ => true
         }
-        Iterator.tabulate(n)(j => j).filter(keep)
-          .map(j => Row.fromSeq(columns.map(c => decoded(c)(j))))
+        // hoist the per-column getters out of the row loop: a Map lookup
+        // + Seq allocation per CELL is pure overhead in the projection
+        // hot path; one pre-sized array fill per row remains
+        val getters = columns.map(decoded).toArray
+        Iterator.range(0, n).filter(keep).map { j =>
+          val vals = new Array[Any](getters.length)
+          var c = 0
+          while (c < getters.length) { vals(c) = getters(c)(j); c += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
       }
     }(Encoders.row(outSchema))
     rows
@@ -149,9 +157,15 @@ object DecodeJob {
   }
 
   def decodeChunk(chunk: EncodedChunk): Iterator[Page] = {
-    require(chunk.url != null && chunk.url.block != null,
-      s"chunk pid=${chunk.pid} blockIdx=${chunk.blockIdx} has no per-column " +
-        "struct fields — written by a pre-columnar-layout encoder? Re-encode the table.")
+    // guard EVERY column struct, not just url: a partially-corrupt row
+    // (or a writer that populated only some structs) must fail with the
+    // pid/blockIdx diagnostic, not an anonymous NPE three lines later
+    Seq("url" -> chunk.url, "warc_ts" -> chunk.warc_ts, "html" -> chunk.html,
+      "text" -> chunk.text, "lang" -> chunk.lang).foreach { case (name, colBlock) =>
+      require(colBlock != null && colBlock.block != null,
+        s"chunk pid=${chunk.pid} blockIdx=${chunk.blockIdx} has no '$name' column " +
+          "block — written by a pre-columnar-layout encoder? Re-encode the table.")
+    }
     // view decode: Strings are built straight from the shared payload
     // buffers (one copy inside the String) instead of materializing an
     // Array[Byte] per value first; only html (a genuine binary column)

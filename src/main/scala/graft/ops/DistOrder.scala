@@ -49,12 +49,16 @@ object DistOrder {
     */
   def runs(df: DataFrame, sortCols: Seq[String], valueCol: String, numParts: Int): DataFrame = {
     val spark = df.sparkSession
+    // internal alias must not shadow a caller's sort column (two columns
+    // named alike -> ambiguous-reference AnalysisException downstream)
+    require(!sortCols.contains("__graft_v"),
+      "runs: sort column name __graft_v collides with the internal value alias")
     val keyCols = sortCols.map(col)
     val parted = df
-      .select(col(valueCol).cast("string").as("v") +: keyCols: _*)
+      .select(col(valueCol).cast("string").as("__graft_v") +: keyCols: _*)
       .repartitionByRange(numParts, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-      .select(col("v"))
+      .select(col("__graft_v"))
 
     val localRuns = parted.mapPartitions { rows =>
       val part = TaskContext.getPartitionId()
@@ -144,6 +148,17 @@ object DistOrder {
   def ntileRanges(df: DataFrame, keyCol: String, tiles: Int, numParts: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(tiles >= 1, s"ntileRanges: tiles must be >= 1, got $tiles")
+    // the key is ranked AS A LONG; silently truncating a fractional type
+    // would bucket different values together and diverge from a window
+    // ntile over the raw column — refuse instead
+    require(df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"ntileRanges: key column '$keyCol' must be an integral type, got " +
+      s"${df.schema(keyCol).dataType.catalogString} (a fractional key would be " +
+      "silently truncated and diverge from window ntile over the raw values)")
     val parted = df
       .select(col(keyCol).cast("bigint").as("k"))
       .repartitionByRange(numParts, col("k"))
@@ -151,7 +166,14 @@ object DistOrder {
       .persist(StorageLevel.MEMORY_AND_DISK) // same boundaries for both passes
 
     val counts = parted
-      .mapPartitions(it => Iterator.single((TaskContext.getPartitionId(), it.size.toLong)))
+      .mapPartitions { it =>
+        // Long row counter — Iterator.size returns Int and would wrap
+        // negative past 2^31 rows/partition (silent rank corruption at
+        // the design scale); the sibling `runs` counts with Longs too
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1L }
+        Iterator.single((TaskContext.getPartitionId(), n))
+      }
       .collect()
       .toMap
     val ordered = counts.keys.toSeq.sorted
