@@ -245,14 +245,27 @@ case object FsstBytes extends ByteCodec {
   // --------------------------------------------------------------- encode
 
   def encodeWithTable(data: Array[Byte], table: SymbolTable): Array[Byte] = {
+    // worst case is 2 bytes/input byte (all escapes): guard the output
+    // class that cannot fit a JVM array up front — past ~1 GiB input the
+    // doubling below would also wrap Int and degrade to per-emit full
+    // copies (an effective hang) before any allocation failure surfaced.
+    // Same contract as FlBytes.encode's explicit size require.
+    require(data.length <= (Int.MaxValue - 16) / 2,
+      s"FSST input ${data.length} bytes: worst-case 2x output exceeds the " +
+        "JVM array cap; encode smaller chunks")
     // plain growable array, NOT ByteArrayOutputStream: BAOS.write is
     // synchronized (a lock op per emitted byte) and this is the hottest
-    // loop in the encode kernel. Worst case output is 2 bytes/input byte.
+    // loop in the encode kernel.
     var buf = new Array[Byte](math.max(64, data.length / 2))
     var n = 0
     @inline def ensure(extra: Int): Unit =
-      if (n + extra > buf.length)
-        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, n + extra))
+      if (n + extra > buf.length) {
+        // Long-safe doubling, clamped to the array cap (reachable thanks
+        // to the entry require: n + extra can never exceed it)
+        val want = math.max(buf.length.toLong * 2L, (n + extra).toLong)
+        buf = java.util.Arrays.copyOf(buf,
+          math.min(want, Int.MaxValue.toLong - 8L).toInt)
+      }
     var pos = 0
     val hasSymbols = table.symbols.nonEmpty
     while (pos < data.length) {

@@ -25,8 +25,15 @@ object PipelineCli {
 
   def session(app: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // precedence: explicit env knob > a value the user already supplied
+    // (spark-submit --conf lands in system properties on the driver — the
+    // builder .config would silently OVERRIDE it, pinning a 100-core
+    // cluster's shuffles to the local default) > the local default
+    def conf(key: String, env: String, dflt: String): String =
+      sys.env.get(env).orElse(sys.props.get(key)).getOrElse(dflt)
     val b = SparkSession.builder().appName(app)
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.shuffle.partitions",
+        conf("spark.sql.shuffle.partitions", "SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,7 +42,7 @@ object PipelineCli {
       // keeps every core busy at bench scale; at real scale (multi-GB
       // inputs) either value yields full parallelism.
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "16m"))
+        conf("spark.sql.files.maxPartitionBytes", "SPARK_GRAFT_MAXPART", "16m"))
       .config("spark.sql.files.openCostInBytes", "1m")
     // under spark-submit the master is injected; standalone runs local
     val withMaster = if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")

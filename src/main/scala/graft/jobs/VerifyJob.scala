@@ -50,7 +50,12 @@ object VerifyJob {
     import spark.implicits._
     val s = digests(source, "s")
     val d = digests(decoded, "d")
-    val joined = s.join(d, Seq("url"), "full_outer")
+    // NULL-SAFE join key: Seq("url") equi-join never matches null keys,
+    // so two identical null-url rows would land as TWO half-null joined
+    // rows and double-count as mismatches — a false verify failure on a
+    // byte-identical round trip (groupBy keeps a null-key group; the
+    // join must too)
+    val joined = s.join(d, s("url") <=> d("url"), "full_outer")
       .agg(
         // coalesce OUTSIDE the sum too: a zero-row join (both tables
         // empty — a supported case) makes sum() itself null, which the

@@ -37,12 +37,30 @@ object JsonlPages {
       .option("timestampFormat", TsFormat)
       .json(path)
 
+  /** Read-side wire schema carries warc_ts as STRING: a fixed
+    * timestampFormat with a mandatory fraction would reject the common
+    * external forms ("...T12:00:00Z", millisecond precision) under
+    * FAILFAST. The flexible ISO parser below accepts 0-6 fraction
+    * digits with offset or Z and keeps microsecond precision; an
+    * unparseable non-null value still fails loudly via raise_error. */
+  private val ReadSchema = StructType(WireSchema.map {
+    case f if f.name == "warc_ts" => f.copy(dataType = StringType)
+    case f                        => f
+  })
+
   def read(spark: SparkSession, path: String): Dataset[graft.model.Page] =
-    spark.read.schema(WireSchema)
-      .option("timestampFormat", TsFormat)
+    spark.read.schema(ReadSchema)
       .option("mode", "FAILFAST") // a malformed crawl line fails loudly
       .json(path)
-      .select(col("url"), col("warc_ts"),
+      .select(col("url"),
+        // try_to_timestamp (not to_timestamp): under ANSI mode the
+        // latter throws its own cast error before the CASE can attach
+        // the diagnostic; try_ returns null in every mode, so the
+        // raise_error branch carries one consistent message
+        expr(
+          """CASE WHEN warc_ts IS NOT NULL AND try_to_timestamp(warc_ts) IS NULL
+            |     THEN CAST(raise_error(concat('unparseable warc_ts: ', warc_ts)) AS TIMESTAMP)
+            |     ELSE try_to_timestamp(warc_ts) END""".stripMargin).as("warc_ts"),
         // STRICT base64: unbase64's MIME decoder silently skips invalid
         // characters, turning a corrupt html_b64 into wrong-but-plausible
         // bytes that round-trip verify could never catch (source and

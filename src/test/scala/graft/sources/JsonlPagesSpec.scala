@@ -31,6 +31,38 @@ class JsonlPagesSpec extends AnyFunSuite with SparkFixture {
     source.unpersist(); back.unpersist()
   }
 
+  test("external timestamp precisions ingest; unparseable ones fail loudly") {
+    // genuinely external drops carry whole-second or millisecond
+    // timestamps — a fixed microsecond pattern used to FAILFAST on them
+    val dir = tmpDir("graft-jsonl-ts")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ext.jsonl"),
+      Seq(
+        """{"url":"https://x/s","warc_ts":"2024-01-01T00:00:07Z","html_b64":"aGk=","text":"t","lang":"en"}""",
+        """{"url":"https://x/m","warc_ts":"2024-01-01T00:00:07.123Z","html_b64":"aGk=","text":"t","lang":"en"}""",
+        """{"url":"https://x/u","warc_ts":"2024-01-01T00:00:07.123456Z","html_b64":"aGk=","text":"t","lang":"en"}""",
+        """{"url":"https://x/o","warc_ts":"2024-01-01T01:00:07+01:00","html_b64":"aGk=","text":"t","lang":"en"}""",
+        """{"url":"https://x/n","warc_ts":null,"html_b64":"aGk=","text":"t","lang":"en"}"""
+      ).mkString("\n") + "\n")
+    val rows = JsonlPages.read(spark, dir).collect().map(p => p.url -> p.warc_ts).toMap
+    assert(rows("https://x/s").getTime == 1704067207000L)
+    assert(rows("https://x/m").getTime == 1704067207123L)
+    assert(rows("https://x/u").getNanos == 123456000)
+    // offset form normalizes to the same UTC instant as the Z form
+    assert(rows("https://x/o").getTime == 1704067207000L)
+    assert(rows("https://x/n") == null)
+    // an unparseable non-null timestamp still fails loudly
+    val bad = tmpDir("graft-jsonl-badts")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bad))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bad/bad.jsonl"),
+      """{"url":"https://x/b","warc_ts":"not-a-time","html_b64":"aGk=","text":"t","lang":"en"}""" + "\n")
+    val ex = intercept[Exception] { JsonlPages.read(spark, bad).collect() }
+    assert(ex.getMessage.contains("unparseable warc_ts"),
+      s"unexpected failure: ${String.valueOf(ex.getMessage).take(200)}")
+  }
+
   test("malformed base64 in a crawl line fails loudly, not as silent corruption") {
     // unbase64's MIME decoder would skip the invalid characters and
     // produce wrong-but-plausible html bytes that no round-trip verify
