@@ -245,14 +245,6 @@ case object FsstBytes extends ByteCodec {
   // --------------------------------------------------------------- encode
 
   def encodeWithTable(data: Array[Byte], table: SymbolTable): Array[Byte] = {
-    // worst case is 2 bytes/input byte (all escapes): guard the output
-    // class that cannot fit a JVM array up front — past ~1 GiB input the
-    // doubling below would also wrap Int and degrade to per-emit full
-    // copies (an effective hang) before any allocation failure surfaced.
-    // Same contract as FlBytes.encode's explicit size require.
-    require(data.length <= (Int.MaxValue - 16) / 2,
-      s"FSST input ${data.length} bytes: worst-case 2x output exceeds the " +
-        "JVM array cap; encode smaller chunks")
     // plain growable array, NOT ByteArrayOutputStream: BAOS.write is
     // synchronized (a lock op per emitted byte) and this is the hottest
     // loop in the encode kernel.
@@ -260,9 +252,18 @@ case object FsstBytes extends ByteCodec {
     var n = 0
     @inline def ensure(extra: Int): Unit =
       if (n + extra > buf.length) {
-        // Long-safe doubling, clamped to the array cap (reachable thanks
-        // to the entry require: n + extra can never exceed it)
-        val want = math.max(buf.length.toLong * 2L, (n + extra).toLong)
+        // Long-tracked growth failing only when the ACTUAL output would
+        // exceed the JVM array cap — a worst-case (2x, all-escapes)
+        // up-front bound would reject ~1-2 GiB compressible chunks whose
+        // real output fits fine. The explicit require keeps the failure
+        // loud: without it, doubling past the cap would clamp the buffer
+        // and the next emit would either copy the full array per byte
+        // (an effective hang) or index out of bounds.
+        val need = n.toLong + extra.toLong
+        require(need <= Int.MaxValue.toLong - 8L,
+          s"FSST output exceeds the JVM array cap (input ${data.length} " +
+            "bytes, nearly incompressible); encode smaller chunks")
+        val want = math.max(buf.length.toLong * 2L, need)
         buf = java.util.Arrays.copyOf(buf,
           math.min(want, Int.MaxValue.toLong - 8L).toInt)
       }

@@ -40,13 +40,21 @@ object JsonlPages {
   /** Read-side wire schema carries warc_ts as STRING: a fixed
     * timestampFormat with a mandatory fraction would reject the common
     * external forms ("...T12:00:00Z", millisecond precision) under
-    * FAILFAST. The flexible ISO parser below accepts 0-6 fraction
-    * digits with offset or Z and keeps microsecond precision; an
-    * unparseable non-null value still fails loudly via raise_error. */
+    * FAILFAST. The shape gate + parser below accept 0-6 fraction digits
+    * with an EXPLICIT offset or Z and keep microsecond precision; any
+    * other non-null value fails loudly via raise_error. */
   private val ReadSchema = StructType(WireSchema.map {
     case f if f.name == "warc_ts" => f.copy(dataType = StringType)
     case f                        => f
   })
+
+  /** Accepted warc_ts shapes: full ISO instant, 'T' separator, 0-6
+    * fraction digits, explicit Z or +-HH:MM offset. try_to_timestamp
+    * with no format is far laxer (date-only '2024-01-01' parses; a
+    * zone-less timestamp parses IN THE SESSION TIME ZONE) — without this
+    * gate a malformed external feed would ingest silently as a
+    * plausible-but-wrong instant instead of failing FAILFAST-style. */
+  private val TsShape = "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?(Z|[+-]\\d{2}:\\d{2})$"
 
   def read(spark: SparkSession, path: String): Dataset[graft.model.Page] =
     spark.read.schema(ReadSchema)
@@ -56,11 +64,14 @@ object JsonlPages {
         // try_to_timestamp (not to_timestamp): under ANSI mode the
         // latter throws its own cast error before the CASE can attach
         // the diagnostic; try_ returns null in every mode, so the
-        // raise_error branch carries one consistent message
-        expr(
-          """CASE WHEN warc_ts IS NOT NULL AND try_to_timestamp(warc_ts) IS NULL
-            |     THEN CAST(raise_error(concat('unparseable warc_ts: ', warc_ts)) AS TIMESTAMP)
-            |     ELSE try_to_timestamp(warc_ts) END""".stripMargin).as("warc_ts"),
+        // raise_error branch carries one consistent message. rlike via
+        // the Column API (not an expr-embedded literal): the pattern's
+        // backslashes would need SQL-string re-escaping there.
+        when(col("warc_ts").isNotNull &&
+            !(col("warc_ts").rlike(TsShape) &&
+              expr("try_to_timestamp(warc_ts)").isNotNull),
+            expr("CAST(raise_error(concat('unparseable warc_ts: ', warc_ts)) AS TIMESTAMP)"))
+          .otherwise(expr("try_to_timestamp(warc_ts)")).as("warc_ts"),
         // STRICT base64: unbase64's MIME decoder silently skips invalid
         // characters, turning a corrupt html_b64 into wrong-but-plausible
         // bytes that round-trip verify could never catch (source and

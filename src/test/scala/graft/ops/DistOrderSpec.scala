@@ -50,6 +50,47 @@ class DistOrderSpec extends AnyFunSuite with SparkFixture {
     assert(giant.toSeq == Seq((1L, "same", 5000L)))
   }
 
+  test("runs: consecutive NULLs form ONE run (null-safe window oracle)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // null-heavy stream with long null runs that chain across partitions,
+    // plus a LEADING null run (the window oracle's rn=1 edge)
+    val values: Seq[String] = Seq.fill(40)(null: String) ++
+      Iterator.unfold(0) { i =>
+        if (i >= 12000) None
+        else {
+          val runLen = 1 + rnd.nextInt(2500)
+          val v = if (rnd.nextInt(3) == 0) null else "v" + rnd.nextInt(3)
+          Some((Seq.fill(math.min(runLen, 12000 - i))(v), i + runLen))
+        }
+      }.flatten.toSeq
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+    val got = DistOrder.runs(df, Seq("k"), "v", numParts = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // the scaladoc's contract: fold oracle (Scala == is null-safe) ...
+    assert(got == referenceRuns(values))
+    // ... AND the documented null-SAFE single-partition window oracle
+    // (`lag(v) IS DISTINCT FROM v`; the three-valued `<>` form would
+    // merge a null row into the preceding run and split null runs)
+    df.createOrReplaceTempView("null_runs_in")
+    val oracle = spark.sql(
+      """WITH s AS (SELECT v, row_number() OVER (ORDER BY k) AS rn FROM null_runs_in),
+        |b AS (SELECT v, rn,
+        |             CASE WHEN rn = 1
+        |                    OR (lag(v) OVER (ORDER BY rn) IS DISTINCT FROM v)
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM s),
+        |r AS (SELECT v, sum(brk) OVER (ORDER BY rn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |      FROM b)
+        |SELECT run_id, min(v) AS val, count(*) AS run_len
+        |FROM r GROUP BY run_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == oracle)
+  }
+
   test("ntileRanges matches exact ntile fill semantics") {
     import spark.implicits._
     // 1003 rows, 16 tiles: first 1003 % 16 = 11 buckets get 63, rest 62
