@@ -17,6 +17,8 @@ import graft.sources.{TableIO, WebtextGen}
   *   stats  <outDir>
   *   flfile c <inFile> <outFlFile> [slices]   (reference `compress c fl`)
   *   flfile d <inFlFile> <outFile> [slices]   (reference `compress d fl`)
+  *   sessionize-stream <inEventsParquet> <outParquet> <checkpointDir>
+  *          [gapMinutes] [watermarkMinutes]   (drain + resume via ckpt)
   *
   * Master/memory come from spark-submit; standalone runs honor
   * SPARK_GRAFT_CPUS (default local[4]).
@@ -145,6 +147,17 @@ object PipelineCli {
         val slices = rest.headOption.map(_.toInt).getOrElse(32)
         val rawBytes = FlFileJob.decompress(spark, in, out, slices)
         println(s"""{"op":"flfile-d","rawBytes":$rawBytes,"out":${graft.JsonEscape.quote(out)},"slices":$slices}""")
+        spark.stop()
+
+      // streaming sessionization over a file-sourced event table:
+      // drains available input, appends watermark-final sessions,
+      // resumes open spans from the checkpoint on the next run
+      case "sessionize-stream" :: in :: out :: ckpt :: rest =>
+        val spark = session("graft-sessionize-stream")
+        val gapMin = rest.headOption.map(_.toInt).getOrElse(30)
+        val wmMin = rest.drop(1).headOption.map(_.toInt).getOrElse(60)
+        val total = graft.streaming.SessionizeStream.runFile(spark, in, out, ckpt, gapMin, wmMin)
+        println(s"""{"op":"sessionize-stream","sessionsTotal":$total,"out":${graft.JsonEscape.quote(out)},"gapMinutes":$gapMin,"watermarkMinutes":$wmMin}""")
         spark.stop()
 
       case "stats" :: outDir :: Nil =>

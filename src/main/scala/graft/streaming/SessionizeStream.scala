@@ -123,4 +123,58 @@ object SessionizeStream extends Serializable {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Operational entry point (the `sessionize-stream` CLI verb): drain
+    * all currently-available event parquet under `inDir` through the
+    * sessionizer (Trigger.AvailableNow — processes everything present,
+    * then stops) and append the watermark-FINAL sessions to `outDir`.
+    *
+    * Streaming semantics, honestly: a session still open at the final
+    * watermark is NOT emitted — its span stays in the checkpoint state,
+    * and the next invocation with the same `ckptDir` resumes from there
+    * (new files are detected by the file source's own log), emitting it
+    * once later events push the watermark past its end + gap. Timeout
+    * emission needs a batch to run in, so a span whose deadline passed
+    * at the very end of a drain surfaces on the next invocation — the
+    * standard price of append-mode finality.
+    *
+    * Returns the TOTAL rows now in `outDir` (cumulative across
+    * invocations — the resumable-job progress number, mirroring the
+    * encode manifest's whole-table totals). */
+  def runFile(spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String,
+      ckptDir: String, gapMinutes: Int = 30, watermarkDelayMinutes: Int = 60): Long = {
+    import org.apache.spark.sql.functions.col
+    implicit val evEnc = Encoders.product[Ev]
+    // the streaming file source WATCHES a directory (new files = new
+    // data); pointing it at a single parquet file dies later with an
+    // opaque basePath error — fail with intent instead
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    require(inPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(inPath).isDirectory,
+      s"sessionize-stream input must be a DIRECTORY the file source can watch, got a file: $inDir")
+    // static probe pins the wire schema (readStream requires one); casts
+    // normalize NTZ event tables (testdata) and plain-timestamp writers
+    // alike — difference-neutral under the session's pinned UTC zone
+    val schema = spark.read.parquet(inDir).schema
+    val evs = spark.readStream.schema(schema).parquet(inDir)
+      .select(col("user_id").cast("bigint").as("user_id"),
+        col("event_id").cast("bigint").as("event_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .as[Ev]
+      .withWatermark("ts", s"$watermarkDelayMinutes minutes")
+    sessions(evs, gapMinutes).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    // the sink's _spark_metadata makes the read consistent (only files
+    // the commit log owns are visible); zero-emission first drains leave
+    // no readable footprint yet
+    try spark.read.parquet(outDir).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+  }
 }

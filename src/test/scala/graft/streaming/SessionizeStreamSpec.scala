@@ -163,4 +163,49 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
         s"seed=$seed diverged\n only-streaming: ${got -- expected}\n only-batch: ${expected -- got}")
     }
   }
+
+  test("runFile (CLI verb path): file-sourced drain emits batch-identical sessions and resumes open spans across invocations") {
+    import spark.implicits._
+    val inDir = tmpDir("graft-sessfile-in")
+    val outDir = tmpDir("graft-sessfile-root") + "/out"
+    val ckptDir = tmpDir("graft-sessfile-root") + "/ckpt"
+
+    // two users, sessions split by a >30-min gap, all inside minutes
+    // 0..95 — so the sentinel runs below make every one of them final
+    val normal = Seq(
+      Ev(1L, 1L, ts(0), 1.00), Ev(1L, 2L, ts(10), 2.00), // u1 s1
+      Ev(1L, 3L, ts(60), 4.00),                          // u1 s2 (50m gap)
+      Ev(2L, 4L, ts(5), 0.50),                           // u2 s1
+      Ev(2L, 5L, ts(95), -0.005))                        // u2 s2 (90m gap)
+    spark.createDataset(normal).write.mode("append").parquet(inDir)
+    val afterRun1 = SessionizeStream.runFile(spark, inDir, outDir, ckptDir,
+      gapMinutes = 30, watermarkDelayMinutes = 60)
+
+    // sentinel events (user 999) push the watermark far past every normal
+    // session's end + gap; each subsequent invocation is a data batch in
+    // which the previous run's expired spans time out and emit — state
+    // carries across invocations purely via the checkpoint
+    spark.createDataset(Seq(Ev(999L, 100L, ts(10000), 0.0)))
+      .write.mode("append").parquet(inDir)
+    SessionizeStream.runFile(spark, inDir, outDir, ckptDir, 30, 60)
+    spark.createDataset(Seq(Ev(999L, 101L, ts(20000), 0.0)))
+      .write.mode("append").parquet(inDir)
+    val total = SessionizeStream.runFile(spark, inDir, outDir, ckptDir, 30, 60)
+
+    val outRows = spark.read.parquet(outDir).as[SessionOut].collect()
+    assert(total == outRows.length.toLong, "returned total != cumulative sink rows")
+    assert(total >= afterRun1, "cumulative total shrank across invocations")
+    val got = outRows.filter(_.user_id != 999L)
+      .map(s => (s.user_id, s.session_id, s.n_events,
+        s.t_start.getTime, s.t_end.getTime, s.cents)).toSet
+
+    // batch oracle: the SAME normal events through Queries.qSessionize
+    val bDir = tmpDir("graft-sessfile-batch")
+    spark.createDataset(normal).write.mode("overwrite").parquet(s"$bDir/events.parquet")
+    val expected = graft.ops.Queries.qSessionize(spark, bDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime, r.getLong(5))).toSet
+    assert(got == expected,
+      s"file drain diverged\n only-streaming: ${got -- expected}\n only-batch: ${expected -- got}")
+  }
 }
