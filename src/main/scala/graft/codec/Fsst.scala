@@ -259,13 +259,18 @@ case object FsstBytes extends ByteCodec {
         // loud: without it, doubling past the cap would clamp the buffer
         // and the next emit would either copy the full array per byte
         // (an effective hang) or index out of bounds.
+        // cap leaves room for the block framing too (<=5+5 varints,
+        // 1 count byte, <=255*(8+1) symbol bytes, BAOS's +1024 slack):
+        // a code stream that fits the bare array cap but not
+        // framing+stream would otherwise pass here and die downstream
+        // in the ByteArrayOutputStream with a negative-size or OOME
         val need = n.toLong + extra.toLong
-        require(need <= Int.MaxValue.toLong - 8L,
+        require(need <= Int.MaxValue.toLong - 4096L,
           s"FSST output exceeds the JVM array cap (input ${data.length} " +
             "bytes, nearly incompressible); encode smaller chunks")
         val want = math.max(buf.length.toLong * 2L, need)
         buf = java.util.Arrays.copyOf(buf,
-          math.min(want, Int.MaxValue.toLong - 8L).toInt)
+          math.min(want, Int.MaxValue.toLong - 4096L).toInt)
       }
     var pos = 0
     val hasSymbols = table.symbols.nonEmpty

@@ -429,10 +429,11 @@ object Queries {
     // (session, dir) — exactly a real IVF's contract (train once, probe
     // many); without the memo every invocation re-runs the Lloyd collect
     // jobs that replaced the old cache()-dedupable lazy lineage
+    purgeStoppedSessions(ivfMemo)(_._1)
     val (cents, qv) = ivfMemo.computeIfAbsent((spark, dir), _ => {
       var cs = collectCents(e.filter($"vec_id" < 8)
         .select($"vec_id".as("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv")))
-      for (_ <- 1 to IvfKmeansRounds) {
+      for (_ <- 1 to IvfKmeansRounds if cs.nonEmpty) {
         // mean update: per-(cell, dim) quantized integer sums (order-
         // exact), one double division at the end; a cell that loses every
         // vector drops out (both engines agree — groupBys drop it alike)
@@ -448,12 +449,20 @@ object Queries {
       }
       // the query vector (vec_id = 0): one pushed-down single-row
       // collect; float->double casts are exact, so precollecting as
-      // doubles matches the old in-plan CAST arithmetic
+      // doubles matches the old in-plan CAST arithmetic. headOption:
+      // a table without vec_id 0 has no query — degenerate case below
       val q = e.filter($"vec_id" === 0)
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .collect()(0).getSeq[Double](0).toArray
+        .collect().headOption.map(_.getSeq[Double](0).toArray)
+        .getOrElse(Array.empty[Double])
       (cs, q)
     })
+    // degenerate inputs (empty table / no vec_id 0): empty result with
+    // the query's schema, matching the old plan's empty crossJoin flow
+    // instead of a zero-arg least() analysis error
+    if (cents.isEmpty || qv.isEmpty)
+      return e.select(lit(0L).as("cell"), $"vec_id", lit(0d).as("cos_sim"))
+        .filter(lit(false))
     // the 2 cells nearest to the query — driver arithmetic over the same
     // (cv[i] - qv[i])^2 left-fold the old dist2 SQL computed
     val probed: Seq[Long] = cents.map { case (cell, cv) =>
@@ -671,13 +680,41 @@ object Queries {
     * stats) and [[qDedupApply]] (labels joined back to the corpus);
     * the fixpoint is computed ONCE per (session, dir) via [[ccMemo]]. */
   private def ccLabels(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    purgeStoppedSessions(ccMemo)(_._1)
     val reliableEvery = spark.conf.getOption("spark.graft.cc.checkpointEvery")
       .map(_.toInt).getOrElse(0)
-    ccMemo.computeIfAbsent((spark, dir, reliableEvery),
-      _ => ccLabelsCompute(spark, t(spark, dir, "documents")))
+    val key = (spark, dir, reliableEvery)
+    val cached = ccMemo.get(key)
+    // VALIDATE a hit before trusting it: the entry roots at
+    // localCheckpoint executor blocks with truncated lineage — after an
+    // executor loss they are gone and cannot be recomputed, and a
+    // poisoned entry would fail every later dedup query in the session.
+    // The probe runs two jobs over the bounded cached tables (far
+    // cheaper than the fixpoint); on failure the entry is recomputed,
+    // so block loss degrades to one extra propagation run, exactly the
+    // pre-memo behavior.
+    val valid = cached != null && {
+      try { cached._1.count(); cached._2.count(); true }
+      catch { case _: Throwable => false }
+    }
+    if (valid) cached
+    else {
+      val fresh = ccLabelsCompute(spark, t(spark, dir, "documents"), reliableEvery)
+      ccMemo.put(key, fresh) // racing recomputes both converge; last wins
+      fresh
+    }
   }
 
-  private def ccLabelsCompute(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+  /** Drop memo entries whose owning session is stopped — their cached
+    * blocks are unreachable and the entries would otherwise pin the
+    * stopped session's object graph for the JVM lifetime. Maps are
+    * O(#sessions x #dirs) small; a linear sweep per lookup is noise. */
+  private def purgeStoppedSessions[K, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V])(session: K => SparkSession): Unit =
+    m.keySet().removeIf(k => session(k).sparkContext.isStopped)
+
+  private def ccLabelsCompute(spark: SparkSession, docs: DataFrame,
+      reliableEvery: Int): (DataFrame, DataFrame) = {
     val bands = bands4(minhashSig(shingleStream(docs), 4))
     val okBuckets = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("bcnt"))
       .filter($"bcnt".between(2, 16))
@@ -688,10 +725,9 @@ object Queries {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
     // lineage cut per round (not persist): iterative DataFrames otherwise
     // double their plan tree every round and OOM the DRIVER on analysis.
-    // spark.graft.cc.checkpointEvery=k promotes every k-th cut to a
-    // reliable checkpoint() for fault tolerance on long runs.
-    val reliableEvery = spark.conf.getOption("spark.graft.cc.checkpointEvery")
-      .map(_.toInt).getOrElse(0)
+    // spark.graft.cc.checkpointEvery=k (parsed ONCE by ccLabels — it is
+    // also the memo key's durability component) promotes every k-th cut
+    // to a reliable checkpoint() for fault tolerance on long runs.
     if (reliableEvery > 0) ensureCheckpointDir(spark, "spark.graft.cc.checkpointEvery")
     // Reliable cuts are ALWAYS eager: a lazy Dataset.checkpoint(false)
     // never persists and (unlike lazy localCheckpoint, whose persist

@@ -49,12 +49,17 @@ object JsonlPages {
   })
 
   /** Accepted warc_ts shapes: full ISO instant, 'T' separator, 0-6
-    * fraction digits, explicit Z or +-HH:MM offset. try_to_timestamp
-    * with no format is far laxer (date-only '2024-01-01' parses; a
-    * zone-less timestamp parses IN THE SESSION TIME ZONE) — without this
-    * gate a malformed external feed would ingest silently as a
-    * plausible-but-wrong instant instead of failing FAILFAST-style. */
-  private val TsShape = "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?(Z|[+-]\\d{2}:\\d{2})$"
+    * fraction digits, and an EXPLICIT zone — Z or a numeric offset in
+    * any of its unambiguous spellings (+HH:MM, +HHMM, +HH), all of
+    * which try_to_timestamp resolves identically. try_to_timestamp with
+    * no format is far laxer (date-only '2024-01-01' parses; a zone-less
+    * timestamp parses IN THE SESSION TIME ZONE) — without this gate a
+    * malformed external feed would ingest silently as a
+    * plausible-but-wrong instant instead of failing FAILFAST-style.
+    * Named zones ("... UTC") are deliberately outside the gate: they
+    * are not ISO-8601 instants and feeds carrying them should be
+    * normalized upstream, loudly. */
+  private val TsShape = "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?(Z|[+-]\\d{2}(:?\\d{2})?)$"
 
   def read(spark: SparkSession, path: String): Dataset[graft.model.Page] =
     spark.read.schema(ReadSchema)

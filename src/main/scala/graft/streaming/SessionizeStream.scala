@@ -149,9 +149,20 @@ object SessionizeStream extends Serializable {
     // data); pointing it at a single parquet file dies later with an
     // opaque basePath error — fail with intent instead
     val inPath = new org.apache.hadoop.fs.Path(inDir)
-    require(inPath.getFileSystem(spark.sessionState.newHadoopConf())
-        .getFileStatus(inPath).isDirectory,
+    val fs = inPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.getFileStatus(inPath).isDirectory,
       s"sessionize-stream input must be a DIRECTORY the file source can watch, got a file: $inDir")
+    def outCount(): Long =
+      try spark.read.parquet(outDir).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    // a watched dir that holds no data files yet (first tick of a
+    // scheduled drain, producers not started) is a ZERO drain, not an
+    // error — the schema probe below would otherwise die with an opaque
+    // 'Unable to infer schema'
+    val hasData = fs.listStatus(inPath).exists(st =>
+      st.isFile && st.getLen > 0 &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    if (!hasData) return outCount()
     // static probe pins the wire schema (readStream requires one); casts
     // normalize NTZ event tables (testdata) and plain-timestamp writers
     // alike — difference-neutral under the session's pinned UTC zone
@@ -174,7 +185,6 @@ object SessionizeStream extends Serializable {
     // the sink's _spark_metadata makes the read consistent (only files
     // the commit log owns are visible); zero-emission first drains leave
     // no readable footprint yet
-    try spark.read.parquet(outDir).count()
-    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    outCount()
   }
 }

@@ -43,24 +43,32 @@ class JsonlPagesSpec extends AnyFunSuite with SparkFixture {
         """{"url":"https://x/m","warc_ts":"2024-01-01T00:00:07.123Z","html_b64":"aGk=","text":"t","lang":"en"}""",
         """{"url":"https://x/u","warc_ts":"2024-01-01T00:00:07.123456Z","html_b64":"aGk=","text":"t","lang":"en"}""",
         """{"url":"https://x/o","warc_ts":"2024-01-01T01:00:07+01:00","html_b64":"aGk=","text":"t","lang":"en"}""",
+        """{"url":"https://x/o2","warc_ts":"2024-01-01T01:00:07+0100","html_b64":"aGk=","text":"t","lang":"en"}""",
+        """{"url":"https://x/o3","warc_ts":"2024-01-01T01:00:07+01","html_b64":"aGk=","text":"t","lang":"en"}""",
         """{"url":"https://x/n","warc_ts":null,"html_b64":"aGk=","text":"t","lang":"en"}"""
       ).mkString("\n") + "\n")
     val rows = JsonlPages.read(spark, dir).collect().map(p => p.url -> p.warc_ts).toMap
     assert(rows("https://x/s").getTime == 1704067207000L)
     assert(rows("https://x/m").getTime == 1704067207123L)
     assert(rows("https://x/u").getNanos == 123456000)
-    // offset form normalizes to the same UTC instant as the Z form
+    // every explicit-offset spelling normalizes to the Z-form instant
     assert(rows("https://x/o").getTime == 1704067207000L)
+    assert(rows("https://x/o2").getTime == 1704067207000L)
+    assert(rows("https://x/o3").getTime == 1704067207000L)
     assert(rows("https://x/n") == null)
-    // an unparseable non-null timestamp still fails loudly
-    val bad = tmpDir("graft-jsonl-badts")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bad))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$bad/bad.jsonl"),
-      """{"url":"https://x/b","warc_ts":"not-a-time","html_b64":"aGk=","text":"t","lang":"en"}""" + "\n")
-    val ex = intercept[Exception] { JsonlPages.read(spark, bad).collect() }
-    assert(ex.getMessage.contains("unparseable warc_ts"),
-      s"unexpected failure: ${String.valueOf(ex.getMessage).take(200)}")
+    // unparseable, date-only, and zone-LESS values all fail loudly: the
+    // lax default parser would accept the last two as plausible-but-
+    // wrong instants (midnight / session-zone interpretation)
+    Seq("not-a-time", "2024-01-01", "2024-01-01T00:00:07").foreach { v =>
+      val bad = tmpDir("graft-jsonl-badts")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bad))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$bad/bad.jsonl"),
+        s"""{"url":"https://x/b","warc_ts":"$v","html_b64":"aGk=","text":"t","lang":"en"}""" + "\n")
+      val ex = intercept[Exception] { JsonlPages.read(spark, bad).collect() }
+      assert(ex.getMessage.contains("unparseable warc_ts"),
+        s"value '$v': unexpected failure: ${String.valueOf(ex.getMessage).take(200)}")
+    }
   }
 
   test("malformed base64 in a crawl line fails loudly, not as silent corruption") {
