@@ -114,7 +114,13 @@ object ColumnCodec {
       i += step
     }
     val collisions = (cnt - seen.size).toLong
-    collisions * 2L * DictMaxCardinality < cnt.toLong * cnt.toLong
+    // 2x margin on the implied-cardinality estimate (abort only when
+    // implied distinct > 2 * cap): sampling variance at ~cap-cardinality
+    // columns otherwise kills a valid dict candidate a material fraction
+    // of the time — e.g. 50k distinct under a 65k cap expects ~10
+    // sample collisions, and the no-margin test discarded the dict on
+    // every <=7-collision draw (~17% of chunks)
+    collisions * 4L * DictMaxCardinality < cnt.toLong * cnt.toLong
   }
 
   /** Per-frame FL width stats of the VIRTUAL stream `[longs as 8-byte LE
@@ -200,11 +206,14 @@ object ColumnCodec {
 
     val (winner, _) =
       if (flOnly) ("fl_plain_i64", flSize)
+      // +1 on the named codecs: their FormLong body carries a codec-id
+      // byte the fl_plain form does not — the selector must compare
+      // REALIZED body sizes or a tie goes to the one-byte-larger block
       else Seq(
-        ForLongs.name -> forSize,
-        RleLongs.name -> rleSize,
-        DeltaLongs.name -> deltaSize,
-        PlainLongs.name -> plainSize,
+        ForLongs.name -> (forSize + 1L),
+        RleLongs.name -> (rleSize + 1L),
+        DeltaLongs.name -> (deltaSize + 1L),
+        PlainLongs.name -> (plainSize + 1L),
         "fl_plain_i64" -> flSize).minBy(_._2)
 
     val out = new ByteArrayOutputStream(64)
@@ -525,62 +534,15 @@ object ColumnCodec {
     }
   }
 
+  /** Materializing decode: one FRESH Array[Byte] per non-null row.
+    * Delegates to [[decodeBytesView]] — one set of form decoders to keep
+    * in sync — and the per-row copyAt also fixes the old dict-form
+    * behavior of returning ALIASED arrays (every duplicate row shared
+    * the dictionary's backing array, so a caller mutating one returned
+    * row in place silently corrupted all duplicates — but only when the
+    * selector had happened to pick the dict form for that chunk). */
   def decodeBytes(block: Array[Byte]): Array[Array[Byte]] = {
-    val h = readHeader(block)
-    val form = h.cur.readByte()
-    val present: Array[Array[Byte]] = form match {
-      case FormBytesDict =>
-        val dictSize = h.cur.readUnsignedVarint().toInt
-        val dict = Array.fill(dictSize) {
-          val l = h.cur.readUnsignedVarint().toInt
-          h.cur.readBytes(l)
-        }
-        val codec = LongCodecs.byId(h.cur.readByte())
-        val codes = codec.decode(h.cur.buf, h.cur.pos)
-        codes.map(c => dict(c.toInt))
-      case FormBytesComposite =>
-        val lenCodec = LongCodecs.byId(h.cur.readByte())
-        val lenBlockLen = h.cur.readUnsignedVarint().toInt
-        val lengths = lenCodec.decode(h.cur.readBytes(lenBlockLen))
-        val pCodec = ByteCodecs.byId(h.cur.readByte())
-        val payload = pCodec.decode(h.cur.buf, h.cur.pos)
-        val out = new Array[Array[Byte]](lengths.length)
-        var off = 0
-        var i = 0
-        while (i < lengths.length) {
-          val l = lengths(i).toInt
-          out(i) = java.util.Arrays.copyOfRange(payload, off, off + l)
-          off += l
-          i += 1
-        }
-        out
-      case FormBytesFlPlain =>
-        val presentCount = if (h.nulls == null) h.n else h.nulls.count(!_)
-        val plain = FlBytes.decode(h.cur.buf, h.cur.pos)
-        val bb = java.nio.ByteBuffer.wrap(plain, 0, presentCount * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val lengths = Array.fill(presentCount)(bb.getLong())
-        val out = new Array[Array[Byte]](presentCount)
-        var off = presentCount * 8
-        var i = 0
-        while (i < presentCount) {
-          val l = lengths(i).toInt
-          out(i) = java.util.Arrays.copyOfRange(plain, off, off + l)
-          off += l
-          i += 1
-        }
-        out
-      case f => throw new IllegalArgumentException(s"bad bytes form $f")
-    }
-    if (h.nulls == null) present
-    else {
-      val out = new Array[Array[Byte]](h.n)
-      var src = 0
-      var i = 0
-      while (i < h.n) {
-        if (!h.nulls(i)) { out(i) = present(src); src += 1 }
-        i += 1
-      }
-      out
-    }
+    val v = decodeBytesView(block)
+    Array.tabulate(v.n)(v.copyAt)
   }
 }

@@ -160,7 +160,11 @@ case object RleLongs extends LongCodec {
     val out = new ByteArrayOutputStream(32)
     Varint.writeUnsigned(out, values.length.toLong)
     if (values.isEmpty) { Varint.writeUnsigned(out, 0L); return out.toByteArray }
-    val runs = new ByteArrayOutputStream(values.length)
+    // small hint: RLE only WINS selection when runs are few, so sizing
+    // the buffer at values.length over-allocated ~n bytes exactly in the
+    // cases the codec is used (a constant 64k chunk wasted 64 KB; a
+    // constant 268M-value column would reserve 268 MB for ~4 bytes)
+    val runs = new ByteArrayOutputStream(64)
     var runCount = 0L
     var runVal = values(0)
     var runLen = 1L
@@ -256,10 +260,39 @@ case object DeltaLongs extends LongCodec {
 
   def sizeOf(values: Array[Long]): Long = {
     if (values.isEmpty) return 1L
-    val deltas = new Array[Long](values.length - 1)
-    var i = 1
-    while (i < values.length) { deltas(i - 1) = values(i) - values(i - 1); i += 1 }
-    Varint.sizeUnsigned(values.length.toLong).toLong +
-      Varint.sizeSigned(values(0)) + ForLongs.sizeOf(deltas)
+    // ForLongs' frame walk over the VIRTUAL delta stream, one 128-long
+    // scratch frame at a time: sizeOf runs on the selector hot path for
+    // every long column (and every string column's lengths), where the
+    // old full n-1 delta array was an O(chunk) transient allocation per
+    // sizing call. Must stay byte-exact with encode's
+    // ForLongs.sizeOf(deltas) — same frame boundaries, same min/width
+    // math (CodecSpec pins the sizeOf == encode.length contract).
+    val m = values.length - 1
+    var size = Varint.sizeUnsigned(values.length.toLong).toLong +
+      Varint.sizeSigned(values(0)).toLong + Varint.sizeUnsigned(m.toLong).toLong
+    val frame = LongCodecs.FrameLength
+    val scratch = new Array[Long](frame)
+    var f = 0
+    while (f * frame < m) {
+      val start = f * frame
+      val end = math.min(m, start + frame)
+      val len = end - start
+      var i = 0
+      while (i < len) { scratch(i) = values(start + i + 1) - values(start + i); i += 1 }
+      var min = scratch(0)
+      i = 1
+      while (i < len) { if (scratch(i) < min) min = scratch(i); i += 1 }
+      var width = 0
+      i = 0
+      while (i < len) {
+        val d = scratch(i) - min
+        val w = if (d < 0) 64 else Bits.widthOfLong(d)
+        if (w > width) width = w
+        i += 1
+      }
+      size += Varint.sizeSigned(min) + 1 + (width.toLong * len + 7) / 8
+      f += 1
+    }
+    size
   }
 }
