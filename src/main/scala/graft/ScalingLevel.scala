@@ -29,7 +29,10 @@ object ScalingLevel {
 
   def rmrf(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
+      // null-safe: listFiles() returns null for unreadable or
+      // concurrently-vanishing dirs (same contract as SparkFixture.rmrf)
+      val children = if (f.isDirectory) f.listFiles() else null
+      if (children != null) children.foreach(rec)
       f.delete()
     }
     rec(new java.io.File(path))

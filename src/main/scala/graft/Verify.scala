@@ -16,10 +16,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
+    // shared helper (ScalingLevel.rmrf): the repo had four copies of this
+    // recursion drifting independently
+    def rmrf(f: java.io.File): Unit = ScalingLevel.rmrf(f.getPath)
     SparkEntry.queries.foreach { case (name, fn) =>
       // wipe the query's PREVIOUS dump first: a query that now throws
       // must not leave an earlier run's parquet behind for the compare

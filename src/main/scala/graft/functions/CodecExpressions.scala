@@ -36,15 +36,28 @@ object CodecKernels {
   * the Project stays one generated function, where a UDF would insert an
   * opaque closure invocation with catalyst<->scala converters per row. */
 abstract class CodecExpression extends UnaryExpression {
+  // NullType is accepted so `SELECT fl_encode(NULL)` returns NULL like a
+  // builtin would, instead of failing analysis ("got void") — the
+  // implicit-cast machinery builtins use (ImplicitCastInputTypes /
+  // AbstractDataType) is private[sql] in Spark 4.1, so the null case
+  // must be admitted here and short-circuited in codegen below. A
+  // STRING argument still needs an explicit CAST(x AS BINARY); the
+  // message says so.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a BINARY argument, got ${child.dataType.catalogString}")
+      s"$prettyName requires a BINARY argument, got ${child.dataType.catalogString}" +
+        " (use CAST(x AS BINARY) for strings)")
   override def nullIntolerant: Boolean = true
   /** Fully-qualified static kernel the generated code calls. */
   protected def kernel: String
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CodecKernels.$kernel($c)")
+    // a NullType child can never feed the byte[] kernel signature —
+    // emit a constant-null result (interpreted eval is covered by
+    // nullIntolerant: null in, null out)
+    if (child.dataType == NullType) ExprCode.forNullValue(dataType)
+    else defineCodeGen(ctx, ev, c => s"graft.functions.CodecKernels.$kernel($c)")
 }
 
 case class FlEncode(child: Expression) extends CodecExpression {

@@ -52,7 +52,10 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      // source label "built-in": these are codegen-native Catalyst
+      // expressions, and "scala_udf" would misreport them to
+      // listFunctions()-style tooling as opaque closures
+      reg.createOrReplaceTempFunction(name, b, "built-in")
     }
     // DELIBERATELY does not enable CodecRoundTripElimination: register()
     // is the route the engine's own verification query (q_sql_codec)

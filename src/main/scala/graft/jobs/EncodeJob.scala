@@ -115,7 +115,15 @@ object EncodeJob {
         * — O(1) driver state regardless of #pids; costs one extra small
         * job. Use for single-pass encodes too large for the accumulator.
         * Both modes produce identical manifests (spec-asserted). */
-      manifestMode: String = "acc")
+      manifestMode: String = "acc",
+      /** When false, skip the end-of-run whole-manifest totals
+        * aggregation and report THIS RUN's totals in Result.rows/
+        * rawBytes/encBytes/flBaselineBytes (pidsEncoded = pids committed
+        * this run). Batch callers want the running totals (default);
+        * a long-lived stream must NOT pay a manifest scan that grows
+        * with every micro-batch ever committed — per-batch overhead
+        * stays flat with this off. */
+      wholeTableStats: Boolean = true)
 
   final case class Result(
       pidsEncoded: Long,
@@ -129,8 +137,10 @@ object EncodeJob {
       encodeNanos: Long = 0L,
       manifestNanos: Long = 0L,
       /** Work of THIS invocation only (rows/rawBytes/encBytes above are
-        * whole-manifest running totals — resume-skipped pids included):
-        * throughput math must divide this-run bytes by this-run wall. */
+        * whole-manifest running totals — resume-skipped pids included —
+        * unless Config.wholeTableStats is false, in which case they
+        * equal the ThisRun fields): throughput math must divide
+        * this-run bytes by this-run wall. */
       rowsThisRun: Long = 0L,
       rawBytesThisRun: Long = 0L,
       encBytesThisRun: Long = 0L)
@@ -455,8 +465,9 @@ object EncodeJob {
     // divergence (two attempts that encoded different data) fails loudly
     // instead of being masked by an arbitrary pick.
     val finishedAt = System.currentTimeMillis()
-    // (rows, rawBytes, encBytes) encoded by THIS invocation, for Result
-    var thisRun = (0L, 0L, 0L)
+    // (pids, rows, rawBytes, encBytes, flBaselineBytes) committed by
+    // THIS invocation, for Result
+    var thisRun = (0L, 0L, 0L, 0L, 0L)
     if (useScanManifest) {
       // distributed derivation: aggregate this attempt's chunk METADATA
       // columns (leaf-pruned scan — payload bytes never read) straight
@@ -475,14 +486,16 @@ object EncodeJob {
             .filter($"attemptId" === attemptId).select($"pid"),
           Seq("pid"), "left_anti")
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val agg = rowsDf.agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"))
-        .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+      val agg = rowsDf.agg(count(lit(1)), sum($"rows"), sum($"rawBytes"), sum($"encBytes"),
+          sum($"flBaselineBytes"))
+        .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])].head()
       // guard the empty case: appending zero rows would still create the
       // manifest dir, breaking exists()-based guards downstream
       if (agg._1 > 0L)
         TableIO.write(rowsDf, manifestDir(outDir), SaveMode.Append)
       rowsDf.unpersist()
-      thisRun = (agg._2.getOrElse(0L), agg._3.getOrElse(0L), agg._4.getOrElse(0L))
+      thisRun = (agg._1, agg._2.getOrElse(0L), agg._3.getOrElse(0L), agg._4.getOrElse(0L),
+        agg._5.getOrElse(0L))
     } else {
       val manifestRows = {
         import scala.jdk.CollectionConverters._
@@ -504,17 +517,24 @@ object EncodeJob {
       }
       if (manifestRows.nonEmpty)
         TableIO.write(spark.createDataset(manifestRows).toDF(), manifestDir(outDir), SaveMode.Append)
-      thisRun = (manifestRows.map(_.rows).sum,
-        manifestRows.map(_.rawBytes).sum, manifestRows.map(_.encBytes).sum)
+      thisRun = (manifestRows.length.toLong, manifestRows.map(_.rows).sum,
+        manifestRows.map(_.rawBytes).sum, manifestRows.map(_.encBytes).sum,
+        manifestRows.map(_.flBaselineBytes).sum)
     }
     // attempt fully committed: clear its markers (see [[attemptsDir]])
     TableIO.delete(spark, s"${attemptsDir(outDir)}/begin-$attemptId")
     TableIO.delete(spark, s"${attemptsDir(outDir)}/chunks-$attemptId")
 
     // empty input with no prior runs leaves no manifest at all — report
-    // zeros instead of failing the read
+    // zeros instead of failing the read. wholeTableStats=false skips the
+    // whole-manifest aggregation entirely (it grows with every committed
+    // attempt — a long-lived stream must not pay it per micro-batch) and
+    // reports this run's totals instead.
     val stats =
-      if (!TableIO.exists(spark, manifestDir(outDir)))
+      if (!cfg.wholeTableStats)
+        (thisRun._1 + completed.size, Some(thisRun._2), Some(thisRun._3), Some(thisRun._4),
+          Some(thisRun._5))
+      else if (!TableIO.exists(spark, manifestDir(outDir)))
         (0L, None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long])
       else TableIO.read(spark, manifestDir(outDir))
         // DISTINCT pids, not manifest rows: a pid can carry one manifest
@@ -533,9 +553,9 @@ object EncodeJob {
       boundsNanos = tBounds - t0,
       encodeNanos = tEncode - tBounds,
       manifestNanos = System.nanoTime() - tEncode,
-      rowsThisRun = thisRun._1,
-      rawBytesThisRun = thisRun._2,
-      encBytesThisRun = thisRun._3)
+      rowsThisRun = thisRun._2,
+      rawBytesThisRun = thisRun._3,
+      encBytesThisRun = thisRun._4)
   }
 
   private def utf8Compare(a: String, b: String): Int =

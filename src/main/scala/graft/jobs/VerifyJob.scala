@@ -28,10 +28,18 @@ object VerifyJob {
       textMismatches: Long, // urls whose text multiset differs — etc.
       htmlMismatches: Long,
       tsMismatches: Long,
-      langMismatches: Long) {
+      langMismatches: Long,
+      /** urls whose whole-ROW-tuple multiset differs: per-column
+        * multisets alone are blind to cross-row column RE-PAIRING among
+        * duplicate-url rows — a decoder bug swapping which text goes
+        * with which html between two same-url rows leaves every
+        * per-column digest unchanged. The tuple digest pins the
+        * pairing. */
+      rowMismatches: Long = 0L) {
     def ok: Boolean =
       sourceRows == decodedRows && joinedRows > 0 == (sourceRows > 0) &&
-        textMismatches + htmlMismatches + tsMismatches + langMismatches == 0
+        textMismatches + htmlMismatches + tsMismatches + langMismatches +
+          rowMismatches == 0
   }
 
   // hashes sum as decimal(38,0): a plain long sum overflows (and under
@@ -44,7 +52,12 @@ object VerifyJob {
       dig("text").as(s"${tag}_text"),
       dig("html").as(s"${tag}_html"),
       dig("warc_ts").as(s"${tag}_ts"),
-      dig("lang").as(s"${tag}_lang"))
+      dig("lang").as(s"${tag}_lang"),
+      // whole-row-tuple digest (variadic xxhash64 over all columns):
+      // catches cross-row column re-pairing among duplicate-url rows,
+      // which every per-column multiset digest is blind to
+      sum(xxhash64(col("text"), col("html"), col("warc_ts"), col("lang"))
+        .cast("decimal(38,0)")).as(s"${tag}_row"))
 
   def run(spark: SparkSession, source: Dataset[Page], decoded: Dataset[Page]): Report = {
     import spark.implicits._
@@ -66,9 +79,11 @@ object VerifyJob {
         count(when(!($"s_n" <=> $"d_n") || !($"s_text" <=> $"d_text"), 1)).as("textMm"),
         count(when(!($"s_html" <=> $"d_html"), 1)).as("htmlMm"),
         count(when(!($"s_ts" <=> $"d_ts"), 1)).as("tsMm"),
-        count(when(!($"s_lang" <=> $"d_lang"), 1)).as("langMm"))
-      .as[(Long, Long, Long, Long, Long, Long, Long)]
+        count(when(!($"s_lang" <=> $"d_lang"), 1)).as("langMm"),
+        count(when(!($"s_row" <=> $"d_row"), 1)).as("rowMm"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
       .head()
-    Report(joined._1, joined._2, joined._3, joined._4, joined._5, joined._6, joined._7)
+    Report(joined._1, joined._2, joined._3, joined._4, joined._5, joined._6,
+      joined._7, joined._8)
   }
 }

@@ -95,9 +95,11 @@ object TableIO {
     * reconcile gate. */
   def listDir(spark: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val f = fs(spark, dir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.map(_.getPath.getName)
+    // one listStatus only — an exists() pre-check would double the
+    // metadata round trips on object stores, and this runs on every
+    // micro-batch via the reconcile fast path ("one FS listing RPC")
+    try fs(spark, dir).listStatus(p).toSeq.map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
   /** Create an empty marker file (parents created as needed). */

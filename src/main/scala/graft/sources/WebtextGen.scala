@@ -48,7 +48,10 @@ object WebtextGen {
     val r0 = mix(seed ^ (docId * 0x9e3779b97f4a7c15L))
     val h = host(r0, hosts, skewShare)
     val url = s"https://$h/p${docId}"
-    // base epoch 2025-07-04T00:00:00Z (micros), small positive jitter
+    // base epoch 2025-07-04T00:00:00Z (micros): 1 s per docId within a
+    // repeating day window (docId % 86400 — bench-scale tables wrap) plus
+    // up to ~1.05 s of jitter, so per-host order is ROUGHLY increasing
+    // in a narrow range (delta/FOR-friendly), not strictly non-decreasing
     val baseMicros = 1751587200000000L
     val tsMicros = baseMicros + (docId % 86400L) * 1000000L + (mix(r0 + 1) >>> 44)
     val ts = new java.sql.Timestamp(tsMicros / 1000L)
@@ -61,13 +64,13 @@ object WebtextGen {
     var w = 0
     var rw = mix(r1)
     while (w < nWords) {
-      sb.append(words(((rw >>> 8) % words.length).abs.toInt)).append(' ')
+      sb.append(words(((rw >>> 8) % words.length).toInt)).append(' ')
       rw = mix(rw)
       w += 1
     }
-    if ((r1 & 15L) == 1L) sb.append(nonAscii(((r1 >>> 16) % nonAscii.length).abs.toInt))
+    if ((r1 & 15L) == 1L) sb.append(nonAscii(((r1 >>> 16) % nonAscii.length).toInt))
     val text = sb.toString.trim
-    val lang = langs(((r0 >>> 24) % langs.length).abs.toInt)
+    val lang = langs(((r0 >>> 24) % langs.length).toInt)
 
     // pseudo-HTML wrapping text + a seeded low-entropy filler block
     val filler = new Array[Byte](64 + (mix(r1 + 7) & 0xff).toInt)

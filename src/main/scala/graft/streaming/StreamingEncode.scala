@@ -52,8 +52,11 @@ object StreamingEncode {
     * lifetime, but nothing ever lists it in the steady state: the replay
     * probe checks a single exact path (O(1) on any store) and only the
     * start-time checkpoint-loss guard lists the dir once. */
+  private[streaming] def committedDir(outDir: String): String =
+    s"${EncodeJob.attemptsDir(outDir)}/committed"
+
   private def committedMarker(outDir: String, tag: String): String =
-    s"${EncodeJob.attemptsDir(outDir)}/committed/$tag"
+    s"${committedDir(outDir)}/$tag"
 
   /** Start the incremental encoder. With the default AvailableNow trigger
     * the query drains everything currently in `inDir` and stops — the
@@ -80,7 +83,13 @@ object StreamingEncode {
     // "batch-0" and then skip the new batch 0 as a replay. (The
     // legitimate replay case — crash before the offset commit — keeps the
     // checkpoint dir and is handled by the skip.)
-    val ckptExists = TableIO.exists(spark, s"$outDir/_stream_checkpoint")
+    // "checkpoint present" means COMMITTED OFFSETS, not a path: a dir
+    // whose contents were cleared (rm -rf ckpt/*, a partial backup
+    // restore) renumbers batches from 0 exactly like a missing one, and
+    // an existence-only test would skip the guard and let the old
+    // committed/batch-0 sidecar swallow the first new batch silently
+    val ckptExists =
+      TableIO.listDir(spark, s"$outDir/_stream_checkpoint/offsets").nonEmpty
     if (!ckptExists) {
       def batchTagged(c: org.apache.spark.sql.Column) = c.startsWith("batch-")
       val manifestHas =
@@ -89,7 +98,7 @@ object StreamingEncode {
             .filter(batchTagged(org.apache.spark.sql.functions.col("attemptId"))).isEmpty
       val markerHas = TableIO.listDir(spark, EncodeJob.attemptsDir(outDir))
           .exists(n => n.startsWith("begin-batch-") || n.startsWith("chunks-batch-")) ||
-        TableIO.listDir(spark, s"${EncodeJob.attemptsDir(outDir)}/committed")
+        TableIO.listDir(spark, committedDir(outDir))
           .exists(_.startsWith("batch-"))
       val chunksHas = !manifestHas && !markerHas && // cheapest-first short-circuit
         TableIO.exists(spark, EncodeJob.chunksDir(outDir)) &&
@@ -148,16 +157,18 @@ object StreamingEncode {
           println(s"""{"op":"stream-encode","batchId":$batchId,"skipped":"already in manifest"}""")
         } else {
           val pages = batch.as[Page](Encoders.product[Page])
+          // wholeTableStats=false: the whole-manifest totals aggregation
+          // grows with every micro-batch ever committed — a long-lived
+          // stream would pay a linearly-growing stats job per batch for
+          // a log line. This-batch totals keep the per-batch cost flat.
           val r = EncodeJob.run(spark, pages, outDir,
-            effCfg.copy(resume = false, attemptId = Some(tag)))
+            effCfg.copy(resume = false, attemptId = Some(tag), wholeTableStats = false))
           // manifest is committed once run returns — record the O(1)
           // replay sidecar (a crash before this touch is covered by the
           // probe's manifest fallback)
           TableIO.touch(spark, committedMarker(outDir, tag))
-          // Result aggregates the WHOLE manifest dir, which accumulates one
-          // row set per micro-batch — label these as running totals
-          println(s"""{"op":"stream-encode","batchId":$batchId,"rowsTotal":${r.rows},""" +
-            s""""encBytesTotal":${r.encBytes},"manifestRowsTotal":${r.pidsEncoded}}""")
+          println(s"""{"op":"stream-encode","batchId":$batchId,"rows":${r.rowsThisRun},""" +
+            s""""encBytes":${r.encBytesThisRun},"pids":${r.pidsEncoded}}""")
         }
         ()
       }

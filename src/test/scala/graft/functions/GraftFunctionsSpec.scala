@@ -36,6 +36,14 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     sizes.foreach { r =>
       assert(r.getLong(1) == graft.codec.ReferenceFl.fileSizeOf(r.getAs[Array[Byte]](0)))
     }
+    // a LITERAL NULL (void type — no implicit cast reaches the check)
+    // must return NULL like a builtin, not fail analysis
+    val lit = spark.sql(
+      "SELECT fl_encode(NULL) AS a, rle_decode(NULL) AS b, fl_size(NULL) AS c").head()
+    assert(lit.isNullAt(0) && lit.isNullAt(1) && lit.isNullAt(2))
+    // non-binary, non-null types still fail analysis with the cast hint
+    val ex = intercept[Exception] { spark.sql("SELECT fl_encode('abc')").collect() }
+    assert(ex.getMessage.contains("BINARY"), s"unexpected: ${ex.getMessage.take(200)}")
   }
 
   test("chunk-table column decodes from pure SQL via col_decode_bytes") {
