@@ -58,6 +58,8 @@ object SparkEntry {
     "q_mm_decode" -> (qMmDecode(_, _)),
     "q_rollup_sets" -> (qRollupSets(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
+    "q_asof_join" -> (qAsofJoin(_, _)),
+    "q_range_pairs" -> (qRangePairs(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
     "q_vocab_topk" -> (qVocabTopk(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -519,5 +521,27 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts) AS t_start, max(ts) AS t_end,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM s GROUP BY user_id, session_id""".stripMargin)
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the distributed
+    // union+window as-of; tie handling (t.ts >= q.ts) matches the Spark
+    // side's quotes-before-trades sort at equal ts
+    "q_asof_join" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, max(event_id) AS quote_id,
+        |         arg_max(value, event_id) AS qval
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+        |trades AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_id % 10 <> 0)
+        |SELECT t.user_id, t.event_id, t.ts, q.quote_id,
+        |       CAST(round(q.qval * 100) AS BIGINT) AS quote_cents
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin,
+    // plain inequality join is the oracle for the bucketed band join
+    "q_range_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs, min(a.event_id) AS first_a
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(b.us - a.us) <= 300000000
+        |GROUP BY 1""".stripMargin)
 }

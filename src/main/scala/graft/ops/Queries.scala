@@ -484,6 +484,84 @@ object Queries {
       .orderBy($"cos_sim".desc, $"vec_id").limit(10)
   }
 
+  /** AS-OF join — the temporal operator Spark has no native form of
+    * (each fact row matched to the LATEST reference row at or before its
+    * timestamp, per key). Two streams are derived from `events`: sparse
+    * "quotes" (event_id % 10 == 0, deduped to one per (user, ts)) and
+    * dense "trades" (the rest); every trade picks up the newest quote
+    * with quote.ts <= trade.ts for its user.
+    *
+    * Implementation is the canonical DISTRIBUTED as-of: tag both sides,
+    * union, and carry the last non-null quote forward with a window
+    * PARTITIONED BY the key ordered by (ts, tag) — quotes sort before
+    * trades at equal ts, so ties match like `t.ts >= q.ts`. Exchanges:
+    * the quote dedup shuffles the SPARSE quote stream on (user, ts),
+    * then one hash shuffle on user_id co-locates the union for the
+    * window's per-user local sort; no range cross-join, no per-row
+    * probe — the shape that survives 100 TB (a broadcast-probe as-of
+    * dies when the reference side outgrows one executor; this one never
+    * materializes pairs at all). Oracle: DuckDB's native ASOF LEFT
+    * JOIN. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    // one quote per (user, ts): max-event_id row wins, making the as-of
+    // target unique and both engines' tie handling identical
+    val quotes = e.filter($"event_id" % 10 === 0)
+      .groupBy($"user_id", $"ts")
+      .agg(max(struct($"event_id", $"value")).as("m"))
+      .select($"user_id", $"ts", $"m.event_id".as("quote_id"), $"m.value".as("qval"))
+    val trades = e.filter($"event_id" % 10 =!= 0)
+      .select($"user_id", $"ts", $"event_id")
+    val tagged = quotes
+      .select($"user_id", $"ts", lit(0).as("tag"), $"quote_id", $"qval",
+        lit(null).cast("bigint").as("event_id"))
+      .unionByName(trades.select($"user_id", $"ts", lit(1).as("tag"),
+        lit(null).cast("bigint").as("quote_id"), lit(null).cast("double").as("qval"),
+        $"event_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("lq_id", last($"quote_id", ignoreNulls = true).over(w))
+      .withColumn("lq_val", last($"qval", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"user_id", $"event_id", $"ts",
+        $"lq_id".as("quote_id"),
+        round($"lq_val" * 100).cast("bigint").as("quote_cents"))
+  }
+
+  /** RANGE (band) self-join — pairs of a user's events within a 5-minute
+    * band of each other, via TIME-BUCKET hashing: one side keeps its
+    * bucket, the other explodes to {b-1, b, b+1}, the equi-join on
+    * (user, bucket) bounds candidates, and the exact |dt| <= window
+    * filter runs after. Each qualifying pair matches exactly once (the
+    * a_id < b_id role filter fixes the orientation; within it exactly
+    * one of the three candidate buckets equals the left bucket, because
+    * |dt| <= W implies the bucket ids differ by at most 1). This is the
+    * standard scale shape for interval joins: candidate volume is
+    * 3x rows hashed on (user, bucket), never a per-user cross join —
+    * the quadratic term is bounded by per-(user, bucket) density, which
+    * a 5-minute cell keeps small at web scale (the same
+    * bounded-bucket argument as the LSH dedup pipeline). */
+  def qRangePairs(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 300L * 1000000L // 5 minutes, microsecond precision
+    val e = t(spark, dir, "events")
+      .select($"user_id", $"event_id",
+        // unix_micros over the NTZ->timestamp cast: difference-neutral
+        // under the pinned UTC session zone and exactly DuckDB's
+        // epoch_us (whole-second unix_timestamp would mis-band
+        // sub-second gaps straddling the boundary)
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val bk = floor($"us" / winUs) // floor(double) is LONG in Spark
+    val a = e.select($"user_id", $"event_id".as("a_id"), $"us".as("a_us"),
+      bk.as("bucket"))
+    val b = e.select($"user_id", $"event_id".as("b_id"), $"us".as("b_us"),
+      explode(array(bk - 1, bk, bk + 1)).as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter($"a_id" < $"b_id" && abs($"b_us" - $"a_us") <= winUs)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"), min($"a_id").as("first_a"))
+  }
+
   /** Multimodal plumbing: binary metadata extraction (bytes, hash, magic). */
   def qBinaryMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
