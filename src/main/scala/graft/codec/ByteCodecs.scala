@@ -169,55 +169,47 @@ case object RleBytes extends ByteCodec {
   def encode(data: Array[Byte]): Array[Byte] = encode(data, Long.MaxValue)
 
   def encode(data: Array[Byte], maxRun: Long): Array[Byte] = {
-    // stream runs straight to the output with an EXACT capacity from
-    // sizeOf (one extra O(n) pass, zero reallocation): rle_encode is a
-    // public SQL kernel over arbitrary binary, and the old boxed
-    // (Byte, Long) run buffer plus the Int `runs.length * 3` capacity
-    // hint OOM'd / went negative on incompressible inputs past ~715M
-    // runs. An output that cannot fit a JVM array fails loudly up front.
-    val total = sizeOf(data, maxRun)
+    // two passes total: one counting walk (run count + exact run-stream
+    // bytes — no boxed runs, no Int capacity hints that went negative
+    // past ~715M runs) and one emit pass into an exactly-sized buffer.
+    // rle_encode is a public SQL kernel over arbitrary binary; an output
+    // that cannot fit a JVM array fails loudly up front.
+    var runCount = 0L
+    var runBytes = 0L
+    if (data.nonEmpty) {
+      var runVal = data(0)
+      var runLen = 1L
+      var i = 1
+      while (i < data.length) {
+        if (data(i) == runVal && runLen < maxRun) runLen += 1L
+        else {
+          runCount += 1L; runBytes += 1L + Varint.sizeUnsigned(runLen)
+          runVal = data(i); runLen = 1L
+        }
+        i += 1
+      }
+      runCount += 1L; runBytes += 1L + Varint.sizeUnsigned(runLen)
+    }
+    val total = Varint.sizeUnsigned(data.length.toLong).toLong +
+      Varint.sizeUnsigned(runCount).toLong + runBytes
     require(total <= Int.MaxValue.toLong - 8L,
       s"RLE output $total bytes exceeds the JVM array cap; encode smaller chunks")
     val out = new ByteArrayOutputStream(total.toInt)
     Varint.writeUnsigned(out, data.length.toLong)
-    if (data.isEmpty) { Varint.writeUnsigned(out, 0L); return out.toByteArray }
-    var runCount = 0L
-    var i = 1
-    var runVal = data(0)
-    var runLen = 1L
-    while (i < data.length) {
-      if (data(i) == runVal && runLen < maxRun) runLen += 1L
-      else { runCount += 1L; runVal = data(i); runLen = 1L }
-      i += 1
-    }
-    runCount += 1L
     Varint.writeUnsigned(out, runCount)
-    i = 1
-    runVal = data(0)
-    runLen = 1L
-    def close(): Unit = { out.write(runVal & 0xff); Varint.writeUnsigned(out, runLen) }
-    while (i < data.length) {
-      if (data(i) == runVal && runLen < maxRun) runLen += 1L
-      else { close(); runVal = data(i); runLen = 1L }
-      i += 1
+    if (data.nonEmpty) {
+      var runVal = data(0)
+      var runLen = 1L
+      var i = 1
+      def close(): Unit = { out.write(runVal & 0xff); Varint.writeUnsigned(out, runLen) }
+      while (i < data.length) {
+        if (data(i) == runVal && runLen < maxRun) runLen += 1L
+        else { close(); runVal = data(i); runLen = 1L }
+        i += 1
+      }
+      close()
     }
-    close()
     out.toByteArray
-  }
-
-  def collectRuns(data: Array[Byte], maxRun: Long): Array[(Byte, Long)] = {
-    if (data.isEmpty) return Array.empty
-    val runs = scala.collection.mutable.ArrayBuffer.empty[(Byte, Long)]
-    var runVal = data(0)
-    var runLen = 1L
-    var i = 1
-    while (i < data.length) {
-      if (data(i) == runVal && runLen < maxRun) runLen += 1L
-      else { runs += ((runVal, runLen)); runVal = data(i); runLen = 1L }
-      i += 1
-    }
-    runs += ((runVal, runLen))
-    runs.toArray
   }
 
   def decode(block: Array[Byte], from: Int): Array[Byte] = {

