@@ -643,10 +643,22 @@ object Queries {
     def bucketBits(band: Int) = (1 to 8).map(i =>
       when(element_at($"embedding", 8 * band + i) > 0f, lit(1L << (i - 1))).otherwise(0L)).reduce(_ + _)
     val e = t(spark, dir, "embeddings")
-    val bands = e.select($"vec_id", explode(map(
+    val reliable = spark.conf
+      .getOption("spark.graft.neardup.reliableCheckpoint").contains("true")
+    if (reliable) ensureCheckpointDir(spark, "spark.graft.neardup.reliableCheckpoint")
+    // ONE materialization of the banded signatures, shared by the bucket
+    // counts and both self-join sides — uncut, the scan+explode subtree is
+    // evaluated four times inside the one job. Rows are (vec_id, band,
+    // bucket): two ~24-byte rows per vector, <1% of the embedding table,
+    // so the cut stays cheap at any scale. Lazy executor-resident blocks
+    // by default; the conf promotes to a reliable checkpoint for long
+    // production runs (same escape hatch as q_ngram_jaccard's cuts).
+    val bandsRaw = e.select($"vec_id", explode(map(
         lit(0L), bucketBits(0).cast("bigint"),
         lit(1L), bucketBits(1).cast("bigint")))
         .as(Seq("band", "bucket")))
+    val bands =
+      if (reliable) bandsRaw.checkpoint(true) else bandsRaw.localCheckpoint(false)
     val okBuckets = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("bcnt"))
       .filter($"bcnt".between(2, 16))
     val members = bands.join(okBuckets, Seq("band", "bucket"))
