@@ -75,7 +75,37 @@ object FlFileJob {
     var n = math.max(1, slices)
     def per(k: Int): Long = (fileSize / (frame * k)) * frame
     def lastSlice(k: Int): Long = fileSize - per(k) * (k - 1)
-    while (lastSlice(n) > MaxSliceBytes) n *= 2
+    // the doubling must be BOUNDED: lastSlice(k) ~ fileSize/k + frame*k
+    // turns around and GROWS again past k ~ sqrt(fileSize/frame), so for
+    // a multi-petabyte file no k satisfies it — unbounded doubling would
+    // overflow the Int and emit garbage negative bounds (or spin). The
+    // remainder-to-last scheme (reference parity) covers every file up
+    // to ~9 PB; past the bound the even fallback below takes over.
+    while (lastSlice(n) > MaxSliceBytes && n <= (1 << 24)) n *= 2
+    if (lastSlice(n) > MaxSliceBytes) {
+      // even FRAME distribution: first (frames % n) slices carry one
+      // extra frame, the last carries the sub-frame tail — every slice
+      // provably fits a JVM array for any Long-expressible file size.
+      // Only the slice count and cap are observable downstream (the FL
+      // format records per-slice sizes), so parity is unaffected in the
+      // regime the reference itself can address.
+      val frames = fileSize / frame
+      val maxFramesPerSlice = MaxSliceBytes / frame - 1 // -1: headroom for the extra frame
+      val m0 = (frames + maxFramesPerSlice - 1) / maxFramesPerSlice
+      require(m0 <= Int.MaxValue.toLong,
+        s"FL file of $fileSize bytes needs $m0 slices — beyond the Int slice-count type")
+      val m = math.max(math.max(1, slices).toLong, m0).toInt
+      val base = frames / m
+      val extra = frames % m
+      var start = 0L
+      return (0 until m).map { i =>
+        val len = (base + (if (i < extra) 1L else 0L)) * frame
+        val s0 = start
+        val end = if (i == m - 1) fileSize else s0 + len
+        start = s0 + len
+        (s0, end)
+      }
+    }
     val p = per(n)
     if (p == 0) Seq((0L, fileSize))
     else (0 until n).map { i =>
@@ -88,7 +118,11 @@ object FlFileJob {
   /** Hadoop Configuration is Writable but not java-Serializable; this
     * minimal wrapper ships the DRIVER's configuration (with its
     * spark.hadoop.* overrides and object-store credentials) into range-
-    * read tasks instead of letting executors fall back to bare defaults. */
+    * read tasks instead of letting executors fall back to bare defaults.
+    * (Spark's own org.apache.spark.util.SerializableConfiguration is
+    * private[spark] at the Scala level — not reusable here.) Broadcast
+    * by the callers, so the conf ships once per executor, not once per
+    * task closure. */
   private final class SerializableConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -109,13 +143,13 @@ object FlFileJob {
     val partsDir = s"$out.parts"
     rmrf(conf, partsDir)
     fs(conf, partsDir).mkdirs(new Path(partsDir))
-    val confSer = new SerializableConf(conf)
+    val confSer = spark.sparkContext.broadcast(new SerializableConf(conf))
 
     // executors: compress own slice, write own parts, return sizes only
     val meta = spark.sparkContext
       .parallelize(bounds.zipWithIndex, bounds.size)
       .map { case ((start, end), idx) =>
-        val tconf = confSer.value
+        val tconf = confSer.value.value
         val buf = readRange(tconf, in, start, end - start, s"slice $idx")
         val c = ReferenceFl.compress(buf)
         writeFile(tconf, f"$partsDir/bits-$idx%05d", c.bits)
@@ -157,7 +191,7 @@ object FlFileJob {
     // 2 GiB cap) as compress, so decompress handles any file compress made
     val bounds = sliceBounds(inputSize, slices)
     val startFrames = bounds.map(_._1 / ReferenceFl.FrameLength)
-    val confSer = new SerializableConf(conf)
+    val confSer = spark.sparkContext.broadcast(new SerializableConf(conf))
 
     // stage 1 — DISTRIBUTED partial sums over the bits array (the
     // reference's own two-phase sizing: prefix scan over bits[f]*128,
@@ -173,7 +207,7 @@ object FlFileJob {
         val frameStart = outStart / ReferenceFl.FrameLength
         val frameCnt = ((outEnd - outStart + ReferenceFl.FrameLength - 1) /
           ReferenceFl.FrameLength).toInt
-        val bits = readRange(confSer.value, in, headerBytes + frameStart,
+        val bits = readRange(confSer.value.value, in, headerBytes + frameStart,
           frameCnt.toLong, s"slice $idx bits")
         var total = 0L
         var f = 0
@@ -218,7 +252,7 @@ object FlFileJob {
     val meta = spark.sparkContext
       .parallelize(tasks, tasks.size)
       .map { case (idx, frameStart, vStart, vEnd, outLen) =>
-        val tconf = confSer.value
+        val tconf = confSer.value.value
         val frameCnt = ((outLen + ReferenceFl.FrameLength - 1) / ReferenceFl.FrameLength).toInt
         val bits = readRange(tconf, in, headerBytes + frameStart, frameCnt.toLong,
           s"slice $idx bits")

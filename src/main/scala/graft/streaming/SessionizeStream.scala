@@ -54,19 +54,37 @@ object SessionizeStream extends Serializable {
     ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
 
   private def toTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(us / 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    // floor semantics, not truncation: for pre-epoch instants (us < 0) a
+    // truncating /1000 plus a NEGATIVE setNanos argument throws — the
+    // fractional part must always land in [0, 1s)
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 
-  /** Exactly Spark's `round(value * 100)` arithmetic (BigDecimal
-    * HALF_UP — away from zero), so streaming cents match the batch
-    * query bit-for-bit including negative half-cent values, where
-    * math.round (half-up toward +infinity) differs: -0.005 must give
-    * -1, not 0. */
-  private def cents(value: Double): Long =
-    java.math.BigDecimal.valueOf(value * 100.0)
+  /** Exactly Spark's `round(value * 100).cast("bigint")` arithmetic, so
+    * streaming cents match the batch query on EVERY double: finite
+    * values round BigDecimal HALF_UP (away from zero — math.round
+    * differs on negative half-cents: -0.005 must give -1, not 0), and
+    * non-finite or out-of-long-range values FAIL LOUDLY — Spark 4 runs
+    * ANSI by default, so the batch query's bigint cast throws
+    * CAST_OVERFLOW on them, and a streaming operator that silently
+    * saturated would diverge. The previous BigDecimal.valueOf(NaN) also
+    * threw, but as an opaque NumberFormatException; this one names the
+    * value and the contract (the batch's poison row fails the same way,
+    * and Spark replays the failed micro-batch until the input is fixed —
+    * ANSI's fail-don't-corrupt semantics, not a new hazard). */
+  private def cents(value: Double): Long = {
+    val r = value * 100.0
+    if (r.isNaN || r.isInfinite)
+      throw new ArithmeticException(
+        s"[CAST_OVERFLOW] event value $value: value*100 cannot be cast to BIGINT cents " +
+          "(the batch qSessionize throws the same way under ANSI mode)")
+    // longValueExact throws ArithmeticException on a finite out-of-range
+    // product — the same overflow class ANSI raises
+    java.math.BigDecimal.valueOf(r)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+  }
 
   /** Wire the sessionizer onto a STREAMING Dataset[Ev]; the caller
     * supplies the watermark (`events.withWatermark("ts", ...)`), which
@@ -150,18 +168,31 @@ object SessionizeStream extends Serializable {
     // opaque basePath error — fail with intent instead
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.getFileStatus(inPath).isDirectory,
-      s"sessionize-stream input must be a DIRECTORY the file source can watch, got a file: $inDir")
     def outCount(): Long =
       try spark.read.parquet(outDir).count()
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    // a watched dir that holds no data files yet (first tick of a
-    // scheduled drain, producers not started) is a ZERO drain, not an
-    // error — the schema probe below would otherwise die with an opaque
-    // 'Unable to infer schema'
-    val hasData = fs.listStatus(inPath).exists(st =>
-      st.isFile && st.getLen > 0 &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    // a watched dir that does not exist yet, or holds no data files yet
+    // (first tick of a scheduled drain, producers not started), is a
+    // ZERO drain, not an error — the schema probe below would otherwise
+    // die with an opaque 'Unable to infer schema'
+    if (!fs.exists(inPath)) return outCount()
+    require(fs.getFileStatus(inPath).isDirectory,
+      s"sessionize-stream input must be a DIRECTORY the file source can watch, got a file: $inDir")
+    // recursive probe: a Hive-partitioned producer (.partitionBy) nests
+    // data files under key=value subdirectories — a top-level-only
+    // listing would report such input empty FOREVER and silently never
+    // sessionize it. listFiles is lazy; the walk stops at the first hit.
+    val files = fs.listFiles(inPath, true)
+    val inUri = inPath.toUri.getPath.stripSuffix("/")
+    var hasData = false
+    while (!hasData && files.hasNext) {
+      val st = files.next()
+      // every path component BELOW inDir must be visible — a file inside
+      // _spark_metadata/ or a dot-directory is bookkeeping, not data
+      val rel = st.getPath.toUri.getPath.stripPrefix(inUri).stripPrefix("/")
+      hasData = st.getLen > 0 &&
+        rel.split('/').forall(c => !c.startsWith("_") && !c.startsWith("."))
+    }
     if (!hasData) return outCount()
     // static probe pins the wire schema (readStream requires one); casts
     // normalize NTZ event tables (testdata) and plain-timestamp writers

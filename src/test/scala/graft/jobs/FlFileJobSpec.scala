@@ -80,6 +80,27 @@ class FlFileJobSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("multi-petabyte files terminate with in-cap even slices (doubling turnaround)") {
+    // lastSlice(k) ~ fileSize/k + frame*k GROWS again past k ~
+    // sqrt(fileSize/frame): for these sizes the remainder-to-last scheme
+    // fits NO k, and the old unbounded doubling overflowed Int and
+    // emitted negative bounds (or spun forever). The even-frame fallback
+    // must cover the file exactly, stay 128-aligned, and keep every
+    // slice under the JVM-array cap.
+    val big = 10_000_000_000_000_037L // ~10 PB, deliberately unaligned
+    val bounds = FlFileJob.sliceBounds(big, 32)
+    assert(bounds.head._1 == 0L && bounds.last._2 == big)
+    // one imperative pass — the fallback legitimately returns millions of
+    // slices at this size, so no sliding/init allocation games
+    var prevEnd = 0L
+    for ((s, e) <- bounds) {
+      assert(s == prevEnd && s % 128 == 0)
+      assert(e > s && e - s <= FlFileJob.MaxSliceBytes)
+      prevEnd = e
+    }
+    assert(prevEnd == big)
+  }
+
   test("slice bounds are 128-aligned with remainder on the last slice") {
     val bounds = FlFileJob.sliceBounds(300037L, 7)
     assert(bounds.head._1 == 0L && bounds.last._2 == 300037L)

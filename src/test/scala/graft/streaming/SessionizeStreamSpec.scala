@@ -164,6 +164,92 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("non-finite values fail LOUDLY in both engines (ANSI parity), not opaquely") {
+    import spark.implicits._
+    // Spark 4 runs ANSI by default: the batch query's bigint cast throws
+    // CAST_OVERFLOW on a NaN event value. The streaming cents must keep
+    // that contract — the old BigDecimal.valueOf(NaN) also died, but as
+    // an opaque NumberFormatException; now both engines fail the poison
+    // row with a named overflow error.
+    val events = Seq(
+      Ev(1L, 1L, ts(0), Double.NaN), Ev(1L, 2L, ts(10), 2.00))
+
+    // batch: ANSI CAST_OVERFLOW
+    val dir = tmpDir("graft-sess-nonfinite")
+    spark.createDataset(events).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchErr = intercept[Exception] {
+      graft.ops.Queries.qSessionize(spark, dir).collect()
+    }
+    assert(batchErr.getMessage.contains("CAST_OVERFLOW"),
+      s"batch failed differently: ${batchErr.getMessage}")
+
+    // streaming: the same overflow class, with the value named
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = SessionizeStream.sessions(
+        in.toDS().withWatermark("ts", "400 minutes"))
+      .writeStream.format("memory").queryName("graft_sessions_nf")
+      .outputMode("append").start()
+    val streamErr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        in.addData(events: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val msgs = Iterator.iterate(streamErr: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("\n")
+    assert(msgs.contains("CAST_OVERFLOW") && msgs.contains("NaN"),
+      s"stream failed without the named overflow error:\n$msgs")
+  }
+
+  test("runFile drains Hive-partitioned input and a not-yet-created inDir is a zero drain") {
+    import spark.implicits._
+    val root = tmpDir("graft-sessfile-part")
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ckptDir = s"$root/ckpt"
+
+    // inDir does not exist at all yet: a scheduled drain's first tick
+    // must be a zero drain, not a FileNotFoundException
+    assert(SessionizeStream.runFile(spark, inDir, outDir, ckptDir, 30, 60) == 0L)
+
+    // producer writes PARTITIONED parquet (data files nested under
+    // shard=N subdirectories): the old top-level-only probe reported
+    // this directory empty forever and never sessionized it
+    val normal = Seq(
+      Ev(1L, 1L, ts(0), 1.00), Ev(1L, 2L, ts(10), 2.00), // u1 s1
+      Ev(1L, 3L, ts(60), 4.00),                          // u1 s2 (50m gap)
+      Ev(2L, 4L, ts(5), 0.50))                           // u2 s1
+    spark.createDataset(normal)
+      .withColumn("shard", org.apache.spark.sql.functions.pmod($"user_id", org.apache.spark.sql.functions.lit(2)))
+      .write.partitionBy("shard").mode("append").parquet(inDir)
+    SessionizeStream.runFile(spark, inDir, outDir, ckptDir, 30, 60)
+
+    // sentinels push the watermark past every span's end + gap
+    spark.createDataset(Seq(Ev(999L, 100L, ts(10000), 0.0)))
+      .withColumn("shard", org.apache.spark.sql.functions.lit(1))
+      .write.partitionBy("shard").mode("append").parquet(inDir)
+    SessionizeStream.runFile(spark, inDir, outDir, ckptDir, 30, 60)
+    spark.createDataset(Seq(Ev(999L, 101L, ts(20000), 0.0)))
+      .withColumn("shard", org.apache.spark.sql.functions.lit(1))
+      .write.partitionBy("shard").mode("append").parquet(inDir)
+    val total = SessionizeStream.runFile(spark, inDir, outDir, ckptDir, 30, 60)
+
+    val got = spark.read.parquet(outDir).as[SessionOut].collect()
+      .filter(_.user_id != 999L)
+      .map(s => (s.user_id, s.session_id, s.n_events,
+        s.t_start.getTime, s.t_end.getTime, s.cents)).toSet
+    assert(total > 0L, "partitioned input was never drained")
+
+    val bDir = tmpDir("graft-sessfile-part-batch")
+    spark.createDataset(normal).write.mode("overwrite").parquet(s"$bDir/events.parquet")
+    val expected = graft.ops.Queries.qSessionize(spark, bDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime, r.getLong(5))).toSet
+    assert(got == expected,
+      s"partitioned drain diverged\n only-streaming: ${got -- expected}\n only-batch: ${expected -- got}")
+  }
+
   test("runFile (CLI verb path): file-sourced drain emits batch-identical sessions and resumes open spans across invocations") {
     import spark.implicits._
     val inDir = tmpDir("graft-sessfile-in")
