@@ -82,11 +82,16 @@ object Bench {
     // carries its own generatedAtIso/runId stamp so staleness is visible
     val scaling = {
       val p = java.nio.file.Paths.get("bench_scaling.json")
-      if (java.nio.file.Files.exists(p))
-        "," + "\"scaling\":" + java.nio.file.Files.readString(p).trim
-      else ""
+      if (java.nio.file.Files.exists(p)) {
+        // sanity-gate the inlined blob: a truncated/empty file (killed
+        // ScalingBench mid-write) must not turn THIS bench line — an
+        // otherwise-good round — into unparseable JSON; omit instead
+        val s = java.nio.file.Files.readString(p).trim
+        if (s.startsWith("{") && s.endsWith("}")) "," + "\"scaling\":" + s
+        else { System.err.println(s"[bench] ignoring malformed bench_scaling.json (${s.length} chars)"); "" }
+      } else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$scaling}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${jsonEscape(sfDir)}"$errJson$scaling}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -18,4 +18,11 @@ object JsonEscape {
 
   /** Escaped AND quoted. */
   def quote(s: String): String = "\"" + apply(s) + "\""
+
+  /** Locale-ROOT fixed-point number for hand-emitted JSON: the f""
+    * interpolator is locale-sensitive, and under a comma-decimal default
+    * locale (de_DE etc.) it prints `12,345` — invalid JSON that the
+    * parent's digit regex would silently mis-parse as `12`. */
+  def num(x: Double, scale: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${scale}f", Double.box(x))
 }

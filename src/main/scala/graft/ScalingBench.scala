@@ -110,6 +110,7 @@ object ScalingBench {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp") ||
+        a.startsWith("-javaagent") || a.startsWith("-agentpath") ||
         a.startsWith("-XX:ActiveProcessorCount"))
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
       s"-XX:ActiveProcessorCount=$cpus",
@@ -137,8 +138,14 @@ object ScalingBench {
     Files.createDirectories(Paths.get(work))
     val pagesPath = s"$work/pages_$nDocs.parquet"
 
-    // -------- generate once (deterministic input shared by all levels)
-    if (!Files.exists(Paths.get(pagesPath))) {
+    // -------- generate once (deterministic input shared by all levels).
+    // Cache validity = the committer's _SUCCESS marker, not mere dir
+    // existence: a run killed mid-write leaves a partial dir (maybe only
+    // _temporary/) that every later run would otherwise trust forever —
+    // either dying at schema inference or silently benchmarking a
+    // truncated corpus.
+    if (!Files.exists(Paths.get(s"$pagesPath/_SUCCESS"))) {
+      ScalingLevel.rmrf(pagesPath)
       val s = session(32, parts)
       WebtextGen.pages(s, nDocs, partitions = 32).write.mode("overwrite").parquet(pagesPath)
       s.stop()
@@ -169,11 +176,10 @@ object ScalingBench {
     specs.foreach { case k @ (c, m) =>
       println(f"[scaling] local[$c] $m best: wall ${best(k)._1.wallSec}%.2f s, ${best(k)._1.gbps}%.4f GB/s")
     }
-    var sizes: (Long, Long, Long) = { val (_, raw, enc, fl) = best((32, "auto")); (raw, enc, fl) }
+    val (_, rawB, encB, flB) = best((32, "auto"))
     def wall(c: Int): Double = lvl.find(_.cpus == c).map(_.wallSec).getOrElse(Double.NaN)
     val effPrimary = (wall(2) / wall(8)) / 4.0
     val effSecondary = (wall(8) / wall(32)) / 4.0
-    val (rawB, encB, flB) = sizes
 
     // reference-equivalent FL-only mode: same pipeline, codec fixed to the
     // reference's FL bit-pack — the apples-to-apples throughput number
@@ -230,10 +236,15 @@ object ScalingBench {
     sb.append(f"- FL-only mode (reference-equivalent work, local[32]): ${r.flOnly.gbps}%.3f GB/s at ")
     sb.append(f"ratio ${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f; the full selector's output is ")
     sb.append(f"${(1 - r.encBytes.toDouble / r.flOnlyEncBytes) * 100}%.0f%% smaller")
-    if (r.levels.last.gbps >= r.flOnly.gbps)
+    // compare against the local[32] level by KEY, not by position: run()
+    // only validates that cpuLevels CONTAINS {2,8,32}, so levels.last may
+    // be some other level under a reordered/extended cpuLevels — and the
+    // FL-only run this line compares against is always local[32]
+    val l32 = r.levels.find(_.cpus == 32).getOrElse(r.levels.last)
+    if (l32.gbps >= r.flOnly.gbps)
       sb.append(" AND it is faster end-to-end (less to write on a write-bound pipeline)\n")
     else
-      sb.append(f" at ${(1 - r.levels.last.gbps / r.flOnly.gbps) * 100}%.0f%% lower throughput\n")
+      sb.append(f" at ${(1 - l32.gbps / r.flOnly.gbps) * 100}%.0f%% lower throughput\n")
     sb.append(s"- round-trip verify (byte-identical per url): ${if (r.verifyOk) "PASS" else "FAIL"}\n\n")
     sb.append("| level | cores | encode wall s | encode-phase s | GB/s (raw/wall) |\n")
     sb.append("|---|---|---|---|---|\n")
@@ -254,13 +265,17 @@ object ScalingBench {
   }
 
   def json(r: ScalingResult): String = {
+    // machine-parsed JSON: numbers must be locale-ROOT (the f""
+    // interpolator under a comma-decimal default locale prints 12,345 —
+    // invalid JSON for every downstream consumer of bench_scaling.json)
+    val n = JsonEscape.num _
     val levels = r.levels.map(l =>
-      f"""{"cpus":${l.cpus},"wallSec":${l.wallSec}%.3f,"gbps":${l.gbps}%.4f}""").mkString("[", ",", "]")
+      s"""{"cpus":${l.cpus},"wallSec":${n(l.wallSec, 3)},"gbps":${n(l.gbps, 4)}}""").mkString("[", ",", "]")
     // generation stamp + run id: the file is inlined into per-round bench
     // lines, so when it was measured must be visible, not implied
     val stamp = java.time.Instant.now().toString
     val runId = java.util.UUID.randomUUID().toString.take(8)
-    f"""{"generatedAtIso":"$stamp","runId":"$runId","nDocs":${r.nDocs},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${r.ratio}%.4f,"ratioVsFl":${r.ratioVsFl}%.4f,"levels":$levels,"scalingEfficiency":${r.effPrimary}%.3f,"scalingEfficiency8to32":${r.effSecondary}%.3f,"hardwareCeiling8to32":${r.hwCeiling}%.3f,"flOnlyGbps":${r.flOnly.gbps}%.4f,"flOnlyRatio":${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f,"decodeGbps":${r.decodeGbps}%.4f,"decodeColdSec":${r.decodeColdSec}%.3f,"verifyOk":${r.verifyOk}}"""
+    s"""{"generatedAtIso":"$stamp","runId":"$runId","nDocs":${r.nDocs},"rawBytes":${r.rawBytes},"encBytes":${r.encBytes},"flBaselineBytes":${r.flBaselineBytes},"ratio":${n(r.ratio, 4)},"ratioVsFl":${n(r.ratioVsFl, 4)},"levels":$levels,"scalingEfficiency":${n(r.effPrimary, 3)},"scalingEfficiency8to32":${n(r.effSecondary, 3)},"hardwareCeiling8to32":${n(r.hwCeiling, 3)},"flOnlyGbps":${n(r.flOnly.gbps, 4)},"flOnlyRatio":${n(r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes), 4)},"decodeGbps":${n(r.decodeGbps, 4)},"decodeColdSec":${n(r.decodeColdSec, 3)},"verifyOk":${r.verifyOk}}"""
   }
 
   def main(args: Array[String]): Unit = {

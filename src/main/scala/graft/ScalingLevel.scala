@@ -85,6 +85,10 @@ object ScalingLevel {
     val (best, bestSteal) = runs.minBy(_._1.wallNanos)
     spark.stop()
 
-    println(f"""{"cpus":$cpus,"wallSec":${best.wallNanos / 1e9}%.3f,"encodeSec":${best.encodeNanos / 1e9}%.3f,"rawBytes":${best.rawBytes},"encBytes":${best.encBytes},"flBaselineBytes":${best.flBaselineBytes},"gbps":${best.rawBytes / 1e9 / (best.wallNanos / 1e9)}%.4f,"stealPct":$bestSteal%.1f}""")
+    // machine-parsed by the parent: numbers must be locale-ROOT (a
+    // comma-decimal default locale would make the digit regex silently
+    // read 12,345 as 12)
+    val num = JsonEscape.num _
+    println(s"""{"cpus":$cpus,"wallSec":${num(best.wallNanos / 1e9, 3)},"encodeSec":${num(best.encodeNanos / 1e9, 3)},"rawBytes":${best.rawBytes},"encBytes":${best.encBytes},"flBaselineBytes":${best.flBaselineBytes},"gbps":${num(best.rawBytes / 1e9 / (best.wallNanos / 1e9), 4)},"stealPct":${num(bestSteal, 1)}}""")
   }
 }

@@ -14,16 +14,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wipe the WHOLE output dir up front, not per-query on attempt: an
+    // interrupted previous run (or a query since renamed/removed from
+    // SparkEntry.queries) must not leave stale dumps — or a stale
+    // errors.json — that a downstream compare enumerating outDir would
+    // read as current results (stale-pass masking)
+    ScalingLevel.rmrf(outDir)
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // shared helper (ScalingLevel.rmrf): the repo had four copies of this
     // recursion drifting independently
     def rmrf(f: java.io.File): Unit = ScalingLevel.rmrf(f.getPath)
     SparkEntry.queries.foreach { case (name, fn) =>
-      // wipe the query's PREVIOUS dump first: a query that now throws
-      // must not leave an earlier run's parquet behind for the compare
-      // to read as if it were current (stale-pass masking)
-      rmrf(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
