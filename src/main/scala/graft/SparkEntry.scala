@@ -396,7 +396,7 @@ object SparkEntry {
         |                   JOIN sh sb ON doc_b = sb.doc_id AND sa.s = sb.s
         |        GROUP BY doc_a, doc_b)
         |SELECT p.doc_a, p.doc_b,
-        |       round(COALESCE(com.common, 0) / (na.n_sh + nb.n_sh - COALESCE(com.common, 0)), 4) AS jaccard
+        |       CAST(COALESCE(com.common, 0) * 10000 // (na.n_sh + nb.n_sh - COALESCE(com.common, 0)) AS BIGINT) AS jaccard_e4
         |FROM pairs p LEFT JOIN com USING (doc_a, doc_b)
         |JOIN sizes na ON p.doc_a = na.doc_id
         |JOIN sizes nb ON p.doc_b = nb.doc_id""".stripMargin,
