@@ -51,7 +51,8 @@ final class BitWriter(val buf: Array[Byte]) {
       val bitOff = (cursor & 7L).toInt
       val room = 8 - bitOff
       val take = math.min(room, remaining)
-      val mask = if (take == 64) -1L else (1L << take) - 1L
+      // take <= room <= 8, so (1L << take) can never wrap
+      val mask = (1L << take) - 1L
       buf(byteId) = (buf(byteId) | (((value & mask) << bitOff) & 0xff)).toByte
       value >>>= take
       cursor += take

@@ -141,8 +141,12 @@ object CodecRoundTripElimination
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     if (conf.getConfString(ConfKey, "false") != "true") plan
     else plan.transformAllExpressions {
-      case FlDecode(FlEncode(c))   => c
-      case RleDecode(RleEncode(c)) => c
+      // BinaryType only: the pair also accepts a NullType literal
+      // (fl_decode(fl_encode(NULL)) analyzes as BINARY), and substituting
+      // the raw NullType child would change the optimized plan's
+      // expression schema out from under the parent's generated code
+      case FlDecode(FlEncode(c)) if c.dataType == BinaryType   => c
+      case RleDecode(RleEncode(c)) if c.dataType == BinaryType => c
     }
 }
 

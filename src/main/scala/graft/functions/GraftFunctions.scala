@@ -31,13 +31,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftFunctions {
 
-  val Names: Seq[String] =
-    Seq("fl_encode", "fl_decode", "fl_size", "rle_encode", "rle_decode", "col_decode_bytes")
-
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = {
     def unary(name: String, mk: Expression => Expression): (String, Seq[Expression] => Expression) =
       name -> { es: Seq[Expression] =>
-        require(es.length == 1, s"$name expects exactly 1 argument, got ${es.length}")
+        // AnalysisException, not require(): a wrong-arity SQL call is an
+        // analysis error, and frontends catch AnalysisException — a raw
+        // IllegalArgumentException escaping analysis breaks that contract
+        if (es.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            s"[WRONG_NUM_ARGS] $name expects exactly 1 argument, got ${es.length}",
+            None, None, None, None, Map.empty,
+            Array.empty[org.apache.spark.QueryContext])
         mk(es.head)
       }
     Seq(
@@ -48,6 +52,10 @@ object GraftFunctions {
       unary("rle_decode", RleDecode),
       unary("col_decode_bytes", ColDecodeBytes))
   }
+
+  // derived, not hand-maintained: a seventh builder can't silently drift
+  // out of the public name list
+  val Names: Seq[String] = builders.map(_._1)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -72,9 +80,14 @@ object GraftFunctions {
     * default-on would defeat q_sql_codec's proof). Idempotent: repeated
     * calls never stack duplicate rule instances. */
   def registerOptimizations(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraOptimizations.contains(CodecRoundTripElimination))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ CodecRoundTripElimination
+    // the check-then-append is a read-modify-write on shared session
+    // state: unsynchronized, two concurrent initializers could stack the
+    // rule twice (or lose another writer's rule)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(CodecRoundTripElimination))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ CodecRoundTripElimination
+    }
     spark.conf.set(CodecRoundTripElimination.ConfKey, "true")
   }
 }

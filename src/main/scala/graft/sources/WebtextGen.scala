@@ -32,14 +32,21 @@ object WebtextGen {
     z ^ (z >>> 31)
   }
 
-  /** Zipf-ish head-heavy host pick; with skewShare>0 a single host
-    * ("h0.example.org") absorbs that fraction of docs (skew fixture). */
+  /** Head-heavy host pick via a cubic CDF (P(k) ~ k^(-2/3) tail — a
+    * power law flatter than Zipf 1.2; FIXTURES.md §A documents this
+    * exact shape); with skewShare>0 a single host ("h0.example.org")
+    * absorbs EXACTLY that fraction of docs in expectation, and the
+    * cubic pick then covers h1..h(hosts-1) — letting it also emit h0
+    * (head mass (1/hosts)^(1/3), ~21% at hosts=100) would overshoot the
+    * documented share by ~10 points. */
   private def host(r: Long, hosts: Int, skewShare: Double): String = {
     val u = ((r >>> 11).toDouble / (1L << 53).toDouble)
     if (skewShare > 0 && u < skewShare) "h0.example.org"
     else {
       val v = ((mix(r) >>> 11).toDouble / (1L << 53).toDouble)
-      val k = math.min(hosts - 1, (hosts * v * v * v).toInt) // cubic -> head-heavy
+      val lo = if (skewShare > 0) 1 else 0
+      val span = math.max(1, hosts - lo)
+      val k = lo + math.min(span - 1, (span * v * v * v).toInt) // cubic -> head-heavy
       s"h$k.example.org"
     }
   }
@@ -57,6 +64,14 @@ object WebtextGen {
     val ts = new java.sql.Timestamp(tsMicros / 1000L)
     ts.setNanos(((tsMicros % 1000000L) * 1000L).toInt)
 
+    // KNOWN coupling, kept deliberately: nWords, the boilerplate flag and
+    // the non-ASCII flag all read low bits of the one r1 draw, so e.g.
+    // every boilerplate doc has nWords ≡ 20 (mod 4) and boilerplate/
+    // non-ASCII are mutually exclusive. A fresh mix() per decision would
+    // decouple them — but it would also change every generated corpus,
+    // breaking the cross-round byte-identical encBytes evidence; the
+    // regularity is a few bits per doc and does not materially flatter
+    // the codecs (FSST/dict operate on symbol content, not word counts).
     val r1 = mix(r0 + 2)
     val nWords = 20 + (r1 & 0x3f).toInt
     val sb = new StringBuilder(256)

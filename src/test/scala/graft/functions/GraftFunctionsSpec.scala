@@ -151,7 +151,10 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     val e = byName("fl_encode")(Seq(org.apache.spark.sql.catalyst.expressions.Literal(
       Array[Byte](1, 2, 3))))
     assert(e.isInstanceOf[FlEncode] && e.prettyName == "fl_encode")
-    val bad = intercept[IllegalArgumentException](byName("fl_encode")(Seq.empty))
+    // wrong arity is an ANALYSIS error (frontends catch AnalysisException;
+    // a raw IllegalArgumentException escaping analysis breaks that contract)
+    val bad = intercept[org.apache.spark.sql.AnalysisException](
+      byName("fl_encode")(Seq.empty))
     assert(bad.getMessage.contains("exactly 1"))
   }
 }
