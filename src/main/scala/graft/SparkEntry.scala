@@ -65,6 +65,9 @@ object SparkEntry {
     "q_seq_pack" -> (qSeqPack(_, _)),
     "q_chunk_windows" -> (qChunkWindows(_, _)),
     "q_repetition" -> (qRepetition(_, _)),
+    "q_boilerplate" -> (qBoilerplate(_, _)),
+    "q_line_dedup" -> (qLineDedup(_, _)),
+    "q_doc_freq" -> (qDocFreq(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_engine_roundtrip" -> (qEngineRoundtrip(_, _)),
     "q_engine_rt_range" -> (qEngineRtRange(_, _)),
@@ -496,6 +499,59 @@ object SparkEntry {
         |            THEN (len(toks) - len(list_distinct(toks))) * 10000 // len(toks)
         |            ELSE 0 END AS BIGINT) AS rep_e4
         |FROM t""".stripMargin,
+    // shared "synthesized line" CTE (8-token non-overlapping windows over
+    // the whitespace tokenization) — mirrors Queries.tokenLines exactly;
+    // DuckDB range(n) is empty for n <= 0, matching the Spark-side
+    // size(ts) > 0 guard (empty docs yield zero lines on both engines)
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |         array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS line
+        |  FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS i)),
+        |boiler AS (
+        |  SELECT source, line FROM lines
+        |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT l.doc_id, count(*) AS n_lines, count(b.line) AS n_boiler
+        |FROM lines l LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+        |GROUP BY 1""".stripMargin,
+    // keep-first winner via row_number here is oracle-scale-only; the
+    // Spark side uses groupBy + min(struct) (partial-agg, skew-safe)
+    "q_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |         array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS line
+        |  FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS i)),
+        |w AS (
+        |  SELECT line, doc_id AS wdoc, line_no AS wno FROM (
+        |    SELECT line, doc_id, line_no,
+        |           row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        |    FROM lines) WHERE rn = 1)
+        |SELECT l.doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN l.doc_id = w.wdoc AND l.line_no = w.wno
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines
+        |FROM lines l JOIN w USING (line)
+        |GROUP BY 1""".stripMargin,
+    // mean_df_e4 uses exact integer floor-division on both engines
+    // (DuckDB sums are HUGEINT; the Spark side sums in decimal(38,0) and
+    // divides with `div`) — no double arithmetic anywhere
+    "q_doc_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       CAST(sum(d.df) * 10000 // (count(*) * (SELECT count(*) FROM documents)) AS BIGINT) AS mean_df_e4
+        |FROM toks t JOIN df d USING (token)
+        |GROUP BY 1""".stripMargin,
     "q_contamination" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 8) AS s

@@ -1065,6 +1065,114 @@ object Queries {
           expr("(n_words - n_distinct) * 10000L div n_words"))
           .otherwise(lit(0L)).cast("bigint"))
 
+  /** The one "synthesized line" definition shared by the line-granular
+    * corpus ops (q_boilerplate, q_line_dedup) and their DuckDB oracles:
+    * non-overlapping 8-token windows over the whitespace tokenization
+    * (the corpus has no literal newlines, so fixed token windows stand in
+    * for lines — same mechanics as CCNet's per-line dedup unit). Row-local
+    * explode, no shuffle; `line_no` is the 0-based window index. An empty
+    * token list yields zero rows (both engines drop the doc — consistent). */
+  private def tokenLines(docs: DataFrame): DataFrame =
+    docs
+      .select($"doc_id", $"source",
+        expr("filter(split(text, ' ', -1), x -> length(x) > 0)").as("ts"))
+      // guard BEFORE sequence(): sequence(0, -1) is a DESCENDING range in
+      // Spark, so an empty token list would fabricate two bogus windows
+      // instead of zero rows (DuckDB's range(0) is empty)
+      .filter(size($"ts") > 0)
+      .select($"doc_id", $"source",
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(ts) / 8.0d) as int) - 1), " +
+            "i -> array_join(slice(ts, i * 8 + 1, 8), ' '))"))
+          .as(Seq("line_no", "line")))
+      .select($"doc_id", $"source", $"line_no".cast("bigint").as("line_no"), $"line")
+
+  /** CCNet-style per-source boilerplate detection: a line occurring in
+    * >= 2 DISTINCT documents of the same source is boilerplate (nav bars,
+    * footers, cookie banners — text shared across a host's pages); emit
+    * per-document total/boilerplate line-instance counts. Shape chosen
+    * for scale: the full line stream shuffles exactly ONCE (the
+    * (source, line, doc_id) pre-aggregation with map-side combine); the
+    * cross-document count then runs as a window over that already-bounded
+    * per-doc grouping and the final per-doc rollup moves one row per
+    * (source, line, doc) triple. No corpus-sized join probe, no broadcast
+    * of a boilerplate set that is unbounded at web scale. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val g = tokenLines(t(spark, dir, "documents"))
+      .groupBy($"source", $"line", $"doc_id")
+      .agg(count(lit(1)).as("n_inst"))
+    // g is unique per (source, line, doc_id), so a plain count over the
+    // (source, line) window IS the distinct-doc count; the window input is
+    // the pre-aggregated table (<= one row per doc per line), never the
+    // raw instance stream, so a hot boilerplate line carries at most
+    // #docs-in-source rows — the same bound the final rollup pays anyway.
+    val nd = count(lit(1)).over(Window.partitionBy($"source", $"line"))
+    g.withColumn("nd", nd)
+      .groupBy($"doc_id")
+      .agg(sum($"n_inst").as("n_lines"),
+        sum(when($"nd" >= 2, $"n_inst").otherwise(lit(0L))).as("n_boiler"))
+  }
+
+  /** Corpus-wide exact line dedup, keep-first (C4's duplicate-span rule
+    * at line granularity): for every distinct line the winning instance
+    * is the lexicographically smallest (doc_id, line_no); emit per-doc
+    * total vs kept instance counts. The winner is computed with
+    * groupBy + min(struct(...)) — partial aggregation combines map-side,
+    * so a line duplicated across millions of pages ("privacy policy")
+    * ships one partial min per task, NOT every instance to one window
+    * partition (the row_number formulation the oracle uses is only safe
+    * at oracle scale). The rejoin shuffles the line stream once on the
+    * line key; AQE's skew split covers pathological hot lines. */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lines = tokenLines(t(spark, dir, "documents"))
+    val w = lines.groupBy($"line")
+      .agg(min(struct($"doc_id", $"line_no")).as("w"))
+    lines.join(w, "line")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"doc_id" === $"w.doc_id" && $"line_no" === $"w.line_no",
+          lit(1L)).otherwise(lit(0L))).as("kept_lines"))
+  }
+
+  /** Inverted document-frequency quality signal: per document, the mean
+    * document-frequency of its token instances as an exact integer
+    * per-myriad of the corpus size (how "common" the document's
+    * vocabulary is — the df side of a tf-idf quality filter). Token
+    * instances pre-aggregate to (doc_id, token, n_inst) in ONE shuffle
+    * with map-side combine; the df table derives from that bounded
+    * grouping (one row per doc per token) and joins back on the token
+    * key — AQE skew-splits the stop-word keys. The per-doc sums run in
+    * DECIMAL(38,0): sum(n_inst * df) is bounded by tokens_per_doc *
+    * n_docs * tokens_per_doc, past Long range at 10^12 docs; DuckDB's
+    * integer sum() is HUGEINT, so decimal keeps both engines exact. */
+  def qDocFreq(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nDocs = docs.count() // O(1) driver state, metadata-only count
+    val g = docs
+      .select($"doc_id",
+        explode(expr("filter(split(text, ' ', -1), x -> length(x) > 0)")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("n_inst"))
+    // the n_inst > 0 filter is a TAUTOLOGY (count(1) >= 1) whose sole job
+    // is plan-shape: without a consumer of n_inst the optimizer prunes it
+    // out of the df-side copy of g (count(non-null) -> count(1) -> inner
+    // agg collapses to distinct), the two subtrees stop canonicalizing
+    // equal, and the corpus is scanned + exploded TWICE; with it the
+    // (doc_id, token) shuffle is shared as one ReusedExchange
+    val dfTab = g.filter($"n_inst" > 0)
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    g.join(dfTab, "token")
+      .groupBy($"doc_id")
+      .agg(sum($"n_inst").as("n_tokens"),
+        sum(($"n_inst" * $"df").cast("decimal(38,0)")).as("sum_df"))
+      .select($"doc_id", $"n_tokens",
+        // `div` (IntegralDivide) is EXACT on decimals — a decimal `/`
+        // rounds HALF_UP at the result scale before floor(), which can
+        // round an x.9999996 quotient up across the integer boundary and
+        // diverge from DuckDB's exact `//`
+        expr(s"cast((sum_df * 10000) div (n_tokens * ${nDocs}L) as bigint)")
+          .as("mean_df_e4"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any 8-gram
     * shingle with a (small) benchmark set — the eval-leak check every
     * training pipeline runs. The benchmark shingle set is tiny by

@@ -20,7 +20,16 @@ object ExplainAll {
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         println(s"\n===================== $name =====================")
-        try fn(spark, sfDir).explain("formatted")
+        // GRAFT_EXPLAIN_EXECUTE=1: run the query first so the printed
+        // adaptive plan is the FINAL one (runtime exchange/stage reuse,
+        // AQE join demotions) rather than isFinalPlan=false
+        try {
+          val df = fn(spark, sfDir)
+          // collect() (not a noop write): the write would build its OWN
+          // QueryExecution and leave this df's adaptive plan unfinalized
+          if (sys.env.get("GRAFT_EXPLAIN_EXECUTE").contains("1")) df.collect()
+          df.explain("formatted")
+        }
         catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
       }
     spark.stop()

@@ -38,6 +38,48 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("spark.graft.cc.checkpointEvery")
   }
 
+  test("line-granular ops: windows, keep-first winners, exact df means, empty-doc guard") {
+    import spark.implicits._
+    val dir = tmpDir("graft-queries-lines")
+    // hand-computable corpus; doc 3 is EMPTY (drives the sequence(0,-1)
+    // guard: Spark's descending-range default would fabricate two bogus
+    // lines for it where DuckDB's range(0) yields none)
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "en", "src0", 19L),
+      (1L, "a b c d e f g h i j", "en", "src0", 19L),
+      (2L, "a b c d e f g h x y", "en", "src1", 19L),
+      (3L, "", "en", "src1", 0L),
+      (4L, "i j i j", "en", "src2", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    // boilerplate: lines shared by >=2 docs of the SAME source; docs 0/1
+    // share both 8-token windows in src0, doc 2's first window matches
+    // them textually but sits in src1 -> not boilerplate there
+    val boiler = Queries.qBoilerplate(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(boiler == Seq((0L, 2L, 2L), (1L, 2L, 2L), (2L, 2L, 0L), (4L, 1L, 0L)),
+      s"boilerplate mismatch: $boiler")
+
+    // keep-first: winner of "a b c d e f g h" is (0,0); "i j" is (0,1);
+    // doc 1 keeps nothing, doc 2 keeps only its unique "x y" tail
+    val dedup = Queries.qLineDedup(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dedup == Seq((0L, 2L, 2L), (1L, 2L, 0L), (2L, 2L, 1L), (4L, 1L, 1L)),
+      s"line dedup mismatch: $dedup")
+
+    // df: a..h and i,j occur in 3 docs each, x,y in 1; nDocs=5 INCLUDING
+    // the token-less doc (corpus size is corpus size)
+    val dfm = Queries.qDocFreq(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dfm == Seq(
+      (0L, 10L, 6000L),   // 10 tokens * df 3 -> 30*10000/(10*5)
+      (1L, 10L, 6000L),
+      (2L, 10L, 5200L),   // 8*3 + 2*1 = 26 -> 26*10000/(10*5)
+      (4L, 4L, 6000L)),   // 4 instances of df-3 tokens
+      s"doc-freq mismatch: $dfm")
+  }
+
   test("processScratch sweeps dead-JVM dirs, keeps live ones, wipes its own") {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val prefix = "graft-scrtest"
