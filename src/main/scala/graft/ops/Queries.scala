@@ -1053,9 +1053,16 @@ object Queries {
     * resolve such ties differently — e.g. 1 - 131/4000 rounds to .9672
     * in Spark and .9673 in DuckDB. Integer division is identical
     * everywhere. */
+  /** The one whitespace-tokenization expression shared by every oracled
+    * text op (qRepetition, tokenLines, qDocFreq) — its DuckDB twin is
+    * `list_filter(string_split(text, ' '), x -> length(x) > 0)`. The
+    * cross-engine equivalence of THIS expression is the load-bearing
+    * invariant of those oracles; change both together or none. */
+  private val TokensExpr = "filter(split(text, ' ', -1), x -> length(x) > 0)"
+
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select($"doc_id", expr("filter(split(text, ' ', -1), x -> length(x) > 0)").as("toks"))
+      .select($"doc_id", expr(TokensExpr).as("toks"))
       .select(
         $"doc_id",
         size($"toks").cast("bigint").as("n_words"),
@@ -1074,8 +1081,7 @@ object Queries {
     * token list yields zero rows (both engines drop the doc — consistent). */
   private def tokenLines(docs: DataFrame): DataFrame =
     docs
-      .select($"doc_id", $"source",
-        expr("filter(split(text, ' ', -1), x -> length(x) > 0)").as("ts"))
+      .select($"doc_id", $"source", expr(TokensExpr).as("ts"))
       // guard BEFORE sequence(): sequence(0, -1) is a DESCENDING range in
       // Spark, so an empty token list would fabricate two bogus windows
       // instead of zero rows (DuckDB's range(0) is empty)
@@ -1101,13 +1107,19 @@ object Queries {
     val g = tokenLines(t(spark, dir, "documents"))
       .groupBy($"source", $"line", $"doc_id")
       .agg(count(lit(1)).as("n_inst"))
-    // g is unique per (source, line, doc_id), so a plain count over the
-    // (source, line) window IS the distinct-doc count; the window input is
-    // the pre-aggregated table (<= one row per doc per line), never the
-    // raw instance stream, so a hot boilerplate line carries at most
-    // #docs-in-source rows — the same bound the final rollup pays anyway.
-    val nd = count(lit(1)).over(Window.partitionBy($"source", $"line"))
-    g.withColumn("nd", nd)
+    // g is unique per (source, line, doc_id), so counting its rows per
+    // (source, line) IS the distinct-doc count. A groupBy, NOT a window:
+    // count-over-window gets no partial aggregation and no AQE skew
+    // split, so a footer line shared by 10^9 docs of one source would
+    // land every pre-agg row for that key on ONE window task; the
+    // groupBy combines map-side (one partial per task per key) and the
+    // rejoin below is skew-splittable. The n_inst > 0 tautology keeps
+    // the nd-side copy of g canonically equal (same trick as qDocFreq)
+    // so the (source, line, doc_id) shuffle is shared as one
+    // ReusedExchange instead of re-scanning the corpus.
+    val nd = g.filter($"n_inst" > 0)
+      .groupBy($"source", $"line").agg(count(lit(1)).as("nd"))
+    g.join(nd, Seq("source", "line"))
       .groupBy($"doc_id")
       .agg(sum($"n_inst").as("n_lines"),
         sum(when($"nd" >= 2, $"n_inst").otherwise(lit(0L))).as("n_boiler"))
@@ -1147,10 +1159,14 @@ object Queries {
     * integer sum() is HUGEINT, so decimal keeps both engines exact. */
   def qDocFreq(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val nDocs = docs.count() // O(1) driver state, metadata-only count
+    // corpus size as a 1-row broadcast INSIDE the plan (not an eager
+    // driver count(), which ran a scan job at DataFrame-construction
+    // time — even in explain-only paths — and froze the value into the
+    // plan); it must come from `documents`, not from g: token-less docs
+    // have no g rows but still count toward the corpus
+    val nDocsDf = docs.agg(count(lit(1)).cast("decimal(38,0)").as("n_docs"))
     val g = docs
-      .select($"doc_id",
-        explode(expr("filter(split(text, ' ', -1), x -> length(x) > 0)")).as("token"))
+      .select($"doc_id", explode(expr(TokensExpr)).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("n_inst"))
     // the n_inst > 0 filter is a TAUTOLOGY (count(1) >= 1) whose sole job
     // is plan-shape: without a consumer of n_inst the optimizer prunes it
@@ -1163,13 +1179,18 @@ object Queries {
     g.join(dfTab, "token")
       .groupBy($"doc_id")
       .agg(sum($"n_inst").as("n_tokens"),
-        sum(($"n_inst" * $"df").cast("decimal(38,0)")).as("sum_df"))
+        // cast an OPERAND to decimal, not the product: Long*Long first
+        // would overflow (ANSI ArithmeticException / silent wrap) at the
+        // very 10^12-doc scale the decimal exists for
+        sum($"n_inst".cast("decimal(38,0)") * $"df").as("sum_df"))
+      .crossJoin(broadcast(nDocsDf))
       .select($"doc_id", $"n_tokens",
         // `div` (IntegralDivide) is EXACT on decimals — a decimal `/`
         // rounds HALF_UP at the result scale before floor(), which can
         // round an x.9999996 quotient up across the integer boundary and
-        // diverge from DuckDB's exact `//`
-        expr(s"cast((sum_df * 10000) div (n_tokens * ${nDocs}L) as bigint)")
+        // diverge from DuckDB's exact `//`. The divisor multiply also
+        // runs in decimal (n_tokens * n_docs passes Long range at scale).
+        expr("cast((sum_df * 10000) div (cast(n_tokens as decimal(38,0)) * n_docs) as bigint)")
           .as("mean_df_e4"))
   }
 

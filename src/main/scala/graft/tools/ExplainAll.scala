@@ -26,8 +26,14 @@ object ExplainAll {
         try {
           val df = fn(spark, sfDir)
           // collect() (not a noop write): the write would build its OWN
-          // QueryExecution and leave this df's adaptive plan unfinalized
-          if (sys.env.get("GRAFT_EXPLAIN_EXECUTE").contains("1")) df.collect()
+          // QueryExecution and leave this df's adaptive plan unfinalized.
+          // An execution failure must not swallow the STATIC plan — that
+          // is the plan one most wants to see for a query that dies at
+          // runtime (OOM, corrupt input, ANSI overflow).
+          if (sys.env.get("GRAFT_EXPLAIN_EXECUTE").contains("1"))
+            try df.collect()
+            catch { case e: Throwable =>
+              println(s"EXECUTE FAILED (static plan below): ${e.getMessage}") }
           df.explain("formatted")
         }
         catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
