@@ -24,5 +24,11 @@ object JsonEscape {
     * locale (de_DE etc.) it prints `12,345` — invalid JSON that the
     * parent's digit regex would silently mis-parse as `12`. */
   def num(x: Double, scale: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${scale}f", Double.box(x))
+    // %f formats non-finite doubles as the bare tokens NaN/Infinity —
+    // invalid JSON from the helper that exists to emit valid JSON. `null`
+    // keeps the artifact parseable and makes the bad metric VISIBLE
+    // downstream instead of fabricating a plausible number.
+    if (java.lang.Double.isFinite(x))
+      String.format(java.util.Locale.ROOT, s"%.${scale}f", Double.box(x))
+    else "null"
 }

@@ -43,6 +43,11 @@ final class ByteCursor(val buf: Array[Byte], var pos: Int = 0) {
       require(shift < 64, s"varint longer than 10 bytes at offset $pos — corrupt block")
       b = buf(pos) & 0xff
       pos += 1
+      // 10th byte (shift 63): only its low bit fits in a Long — any higher
+      // payload bit would be shifted out silently ((0x40L << 63) == 0), so
+      // [0x80 x9, 0x40] would decode to 0 instead of failing
+      require(shift < 63 || (b & 0x7e) == 0,
+        s"varint overflows 64 bits at offset ${pos - 1} — corrupt block")
       out |= (b & 0x7fL) << shift
       shift += 7
     } while ((b & 0x80) != 0)
@@ -51,6 +56,11 @@ final class ByteCursor(val buf: Array[Byte], var pos: Int = 0) {
   def readSignedVarint(): Long = Varint.unzigzag(readUnsignedVarint())
   def readByte(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
   def readBytes(n: Int): Array[Byte] = {
+    // copyOfRange silently ZERO-PADS past the source's end — a corrupt
+    // length field claiming more bytes than remain would return real tail
+    // + fabricated 0x00s and complete the decode with wrong data
+    require(n >= 0 && n <= remaining,
+      s"readBytes($n) at offset $pos exceeds remaining $remaining — corrupt block")
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
     pos += n
     out

@@ -203,6 +203,24 @@ class ColumnCodecSpec extends AnyFunSuite with GenDriven {
     assert(ex.getMessage.contains("varint") || ex.getMessage.contains("version"), ex.getMessage)
   }
 
+  test("ByteCursor rejects 64-bit varint overflow and past-end reads") {
+    // [0x80 x9, 0x40]: shift is 63 on the 10th byte, whose 0x40 payload
+    // bit would be shifted out of the Long ((0x40L << 63) == 0) — the old
+    // guard accepted it and returned 0
+    val overflow = new ByteCursor(Array.fill[Byte](9)(0x80.toByte) :+ 0x40.toByte)
+    val ex1 = intercept[IllegalArgumentException] { overflow.readUnsignedVarint() }
+    assert(ex1.getMessage.contains("overflows"), ex1.getMessage)
+    // a full 10-byte encoding of -1L (all 64 bits set) must still decode
+    val neg = new java.io.ByteArrayOutputStream()
+    Varint.writeUnsigned(neg, -1L)
+    assert(new ByteCursor(neg.toByteArray).readUnsignedVarint() == -1L)
+    // readBytes past the end must fail, not zero-pad (copyOfRange pads)
+    val short = new ByteCursor(Array[Byte](1, 2, 3))
+    val ex2 = intercept[IllegalArgumentException] { short.readBytes(4) }
+    assert(ex2.getMessage.contains("remaining"), ex2.getMessage)
+    assert(short.readBytes(3).toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("ReferenceFl.merge rejects misaligned interior parts") {
     val a = ReferenceFl.compress(Array.tabulate(100)(_.toByte)) // not 128-aligned
     val b = ReferenceFl.compress(Array.tabulate(100)(_.toByte))
