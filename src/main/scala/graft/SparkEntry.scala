@@ -60,6 +60,8 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_range_pairs" -> (qRangePairs(_, _)),
+    "q_cohort_retention" -> (qCohortRetention(_, _)),
+    "q_funnel_steps" -> (qFunnelSteps(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
     "q_vocab_topk" -> (qVocabTopk(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -599,5 +601,32 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(b.us - a.us) <= 300000000
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    // exact integer day arithmetic on both engines (epoch_us // day ==
+    // unix_micros div day under the pinned UTC session zone) — no
+    // date-type round-trip whose pandas dtype differs between engines
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)//86400000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
+        |SELECT f.cohort_day, e.d - f.cohort_day AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_users, count(*) AS n_events
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // min(CASE WHEN ...) ignores non-matching rows in both engines;
+    // strict < ordering decides the reached stage
+    "q_funnel_steps" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(CASE
+        |         WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+        |              AND t1 < t2 AND t2 < t3 THEN 3
+        |         WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2 THEN 2
+        |         WHEN t1 IS NOT NULL THEN 1
+        |         ELSE 0 END AS BIGINT) AS stage,
+        |       count(*) AS n_users
+        |FROM f GROUP BY 1""".stripMargin)
 }

@@ -572,6 +572,49 @@ object Queries {
       .agg(count(lit(1)).as("n_pairs"), min($"a_id").as("first_a"))
   }
 
+  /** Cohort retention: users bucketed by their first-seen day, distinct
+    * active users per (cohort, day-offset) — the standard training-data /
+    * product analytics retention matrix. Day arithmetic is EXACT integer
+    * microsecond division (`div`, matching DuckDB's epoch_us // — no
+    * date-type round-trip whose pandas dtype differs between engines).
+    * Shape: one partial-agg shuffle for first-seen (bounded by #users),
+    * one shuffle join back on user_id (both sides hash the same key; no
+    * broadcast — the user table is NOT small at web scale), one final
+    * rollup whose countDistinct expands over the already-bounded
+    * (cohort, offset, user) triples. */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = t(spark, dir, "events")
+      .select($"user_id",
+        expr(s"unix_micros(cast(ts as timestamp)) div ${dayUs}L").as("d"))
+    val first = e.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy($"cohort_day", ($"d" - $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+  }
+
+  /** Ordered-funnel analysis: per user the first signup/click/purchase
+    * timestamps must occur in strict order; emit user counts per reached
+    * stage. ONE shuffle (the per-user conditional-min aggregation, fully
+    * map-side combined — min(when) ignores non-matching rows in both
+    * engines) and a tiny final rollup; the stage decision is row-local.
+    * No per-user event sorting, no window. */
+  def qFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val f = t(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("t1"),
+        min(when($"event_type" === "click", $"ts")).as("t2"),
+        min(when($"event_type" === "purchase", $"ts")).as("t3"))
+    f.select(
+        when($"t1".isNotNull && $"t2".isNotNull && $"t3".isNotNull &&
+          $"t1" < $"t2" && $"t2" < $"t3", lit(3L))
+          .when($"t1".isNotNull && $"t2".isNotNull && $"t1" < $"t2", lit(2L))
+          .when($"t1".isNotNull, lit(1L))
+          .otherwise(lit(0L)).as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Multimodal plumbing: binary metadata extraction (bytes, hash, magic). */
   def qBinaryMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(

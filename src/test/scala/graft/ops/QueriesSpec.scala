@@ -80,6 +80,50 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       s"doc-freq mismatch: $dfm")
   }
 
+  test("cohort retention and funnel stages on a hand-computed events fixture") {
+    import spark.implicits._
+    val dir = tmpDir("graft-queries-events")
+    def ts(day: Int, sec: Int) =
+      java.time.LocalDateTime.of(2024, 1, 1 + day, 0, 0, 0).plusSeconds(sec)
+    // user 1: full ordered funnel (signup < click < purchase), active days 0,1,3
+    // user 2: click BEFORE signup (strict order broken -> stage 1), days 1,2
+    // user 3: signup+click ordered, no purchase -> stage 2, day 2 only
+    // user 4: view only -> stage 0, day 0 only
+    val rows = Seq(
+      (1L, ts(0, 10), 1L, "signup", 1.0, "{}"),
+      (2L, ts(0, 20), 1L, "click", 1.0, "{}"),
+      (3L, ts(1, 30), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(3, 40), 1L, "view", 1.0, "{}"),
+      (5L, ts(1, 10), 2L, "click", 1.0, "{}"),
+      (6L, ts(2, 20), 2L, "signup", 1.0, "{}"),
+      (7L, ts(2, 10), 3L, "signup", 1.0, "{}"),
+      (8L, ts(2, 20), 3L, "click", 1.0, "{}"),
+      (9L, ts(0, 5), 4L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+    rows.write.parquet(s"$dir/events.parquet")
+
+    val funnel = Queries.qFunnelSteps(spark, dir)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(funnel == Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)),
+      s"funnel mismatch: $funnel")
+
+    // cohorts: users 1,4 -> day 0; user 2 -> day 1; user 3 -> day 2
+    // (day numbers are absolute epoch days; compare shape via offsets)
+    val cohort = Queries.qCohortRetention(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, off, nu, ne) => (c - 19723L, off, nu, ne) }.sortBy(r => (r._1, r._2)).toSeq
+    assert(cohort == Seq(
+      (0L, 0L, 2L, 3L),  // day-0 cohort: users 1,4 (u1 has 2 events that day)
+      (0L, 1L, 1L, 1L),  // u1 active day 1
+      (0L, 3L, 1L, 1L),  // u1 active day 3
+      (1L, 0L, 1L, 1L),  // u2 cohort day 1
+      (1L, 1L, 1L, 1L),  // u2 active day 2
+      (2L, 0L, 1L, 2L)), // u3 cohort day 2, both events same day
+      s"cohort mismatch: $cohort")
+  }
+
   test("processScratch sweeps dead-JVM dirs, keeps live ones, wipes its own") {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val prefix = "graft-scrtest"
