@@ -146,11 +146,30 @@ object ReferenceFl {
   /** On-disk file form: header (3 little-endian longs) + bits + values
     * (file_io.cu:222-280 save, 117-192 load; sizes are Long — the
     * reference's int offsets overflow past 2 GB, see SURVEY.md §2.1). */
+  /** The header alone — THE definition of the 3-long layout, shared with
+    * the distributed file job (FlFileJob), which streams parts behind it
+    * instead of materializing one array. One encode/decode pair so the
+    * codec-level and file-level surfaces cannot silently diverge. */
+  def headerOf(inputSize: Long, bitsSize: Long, valuesSize: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(HeaderBytes.toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(inputSize).putLong(bitsSize).putLong(valuesSize)
+    bb.array()
+  }
+
+  /** (inputSize, bitsSize, valuesSize) from a header-sized prefix. */
+  def readHeader(hdr: Array[Byte]): (Long, Long, Long) = {
+    require(hdr.length >= HeaderBytes.toInt,
+      s"FL header needs $HeaderBytes bytes, got ${hdr.length}")
+    val bb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (bb.getLong(), bb.getLong(), bb.getLong())
+  }
+
   def toFileBytes(c: FlCompressed): Array[Byte] = {
     val bb = java.nio.ByteBuffer
       .allocate(HeaderBytes.toInt + c.bits.length + c.values.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putLong(c.inputSize).putLong(c.bits.length.toLong).putLong(c.values.length.toLong)
+    bb.put(headerOf(c.inputSize, c.bits.length.toLong, c.values.length.toLong))
     bb.put(c.bits).put(c.values)
     bb.array()
   }

@@ -136,50 +136,67 @@ object FlFileJob {
     }
   }
 
+  /** Unique scratch dir for part files: `<out>.parts` alone would clobber
+    * an unrelated pre-existing path of that name and let two concurrent
+    * invocations over the same `out` rmrf each other's live parts
+    * mid-run; a UUID suffix makes each invocation's scratch private (a
+    * crashed run leaks one dir next to its also-incomplete output —
+    * visible, and removed by the next successful run's cleanup of `out`'s
+    * siblings is deliberately NOT attempted: never delete paths this
+    * invocation did not create). */
+  private def newPartsDir(conf: Configuration, out: String): String = {
+    val dir = s"$out.parts-${java.util.UUID.randomUUID().toString.take(8)}"
+    fs(conf, dir).mkdirs(new Path(dir))
+    dir
+  }
+
   def compress(spark: SparkSession, in: String, out: String, slices: Int = 32): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fileSize = fs(conf, in).getFileStatus(new Path(in)).getLen
     val bounds = sliceBounds(fileSize, slices)
-    val partsDir = s"$out.parts"
-    rmrf(conf, partsDir)
-    fs(conf, partsDir).mkdirs(new Path(partsDir))
+    val partsDir = newPartsDir(conf, out)
     val confSer = spark.sparkContext.broadcast(new SerializableConf(conf))
 
-    // executors: compress own slice, write own parts, return sizes only
-    val meta = spark.sparkContext
-      .parallelize(bounds.zipWithIndex, bounds.size)
-      .map { case ((start, end), idx) =>
-        val tconf = confSer.value.value
-        val buf = readRange(tconf, in, start, end - start, s"slice $idx")
-        val c = ReferenceFl.compress(buf)
-        writeFile(tconf, f"$partsDir/bits-$idx%05d", c.bits)
-        writeFile(tconf, f"$partsDir/values-$idx%05d", c.values)
-        (idx, c.inputSize, c.bits.length.toLong, c.values.length.toLong)
-      }
-      .collect()
-      .sortBy(_._1)
+    try {
+      // executors: compress own slice, write own parts, return sizes only
+      val meta = spark.sparkContext
+        .parallelize(bounds.zipWithIndex, bounds.size)
+        .map { case ((start, end), idx) =>
+          val tconf = confSer.value.value
+          val buf = readRange(tconf, in, start, end - start, s"slice $idx")
+          val c = ReferenceFl.compress(buf)
+          writeFile(tconf, f"$partsDir/bits-$idx%05d", c.bits)
+          writeFile(tconf, f"$partsDir/values-$idx%05d", c.values)
+          (idx, c.inputSize, c.bits.length.toLong, c.values.length.toLong)
+        }
+        .collect()
+        .sortBy(_._1)
 
-    // driver: header (3 LE longs, file_io.cu:236-257) + ordered stream
-    // concat of bits parts then values parts; bounded by the copy buffer
-    val totalIn = meta.map(_._2).sum
-    val totalBits = meta.map(_._3).sum
-    val totalValues = meta.map(_._4).sum
-    val parts =
-      meta.map(m => (f"$partsDir/bits-${m._1}%05d", m._3)) ++
-        meta.map(m => (f"$partsDir/values-${m._1}%05d", m._4))
-    concatParts(conf, out, header(totalIn, totalBits, totalValues), parts)
-    rmrf(conf, partsDir)
-    ReferenceFl.HeaderBytes + totalBits + totalValues
+      // driver: header (3 LE longs — ReferenceFl.headerOf, the one layout
+      // definition) + ordered stream concat of bits parts then values
+      // parts; bounded by the copy buffer
+      val totalIn = meta.map(_._2).sum
+      val totalBits = meta.map(_._3).sum
+      val totalValues = meta.map(_._4).sum
+      val parts =
+        meta.map(m => (f"$partsDir/bits-${m._1}%05d", m._3)) ++
+          meta.map(m => (f"$partsDir/values-${m._1}%05d", m._4))
+      concatParts(conf, out, ReferenceFl.headerOf(totalIn, totalBits, totalValues), parts)
+      ReferenceFl.HeaderBytes + totalBits + totalValues
+    } finally rmrf(conf, partsDir)
   }
 
   /** Distributed decompress; returns the raw (decoded) byte count. */
   def decompress(spark: SparkSession, in: String, out: String, slices: Int = 32): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // up-front length check: a truncated/non-FL input must fail with a
+    // named cause like every other corruption mode here, not an opaque
+    // EOFException out of readFully
+    val inLen = fs(conf, in).getFileStatus(new Path(in)).getLen
+    require(inLen >= ReferenceFl.HeaderBytes,
+      s"$in is $inLen bytes — shorter than the ${ReferenceFl.HeaderBytes}-byte FL header")
     val hdr = readRange(conf, in, 0L, ReferenceFl.HeaderBytes, "header")
-    val hb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val inputSize = hb.getLong()
-    val bitsSize = hb.getLong()
-    val valuesSize = hb.getLong()
+    val (inputSize, bitsSize, valuesSize) = ReferenceFl.readHeader(hdr)
     if (inputSize == 0L) {
       writeFile(conf, out, Array.emptyByteArray)
       return 0L
@@ -240,44 +257,37 @@ object FlFileJob {
     require((cumBits + 7) / 8 == valuesSize,
       s"bits array implies ${(cumBits + 7) / 8} payload bytes, header says $valuesSize")
 
-    val partsDir = s"$out.parts"
-    rmrf(conf, partsDir)
-    fs(conf, partsDir).mkdirs(new Path(partsDir))
+    val partsDir = newPartsDir(conf, out)
 
     // executors: each task decodes its frame range independently (chunk
     // independence, SURVEY.md §1.1) and writes its own raw part file
     val tasks = bounds.zipWithIndex.map { case ((outStart, outEnd), idx) =>
       (idx, startFrames(idx), valueStarts(idx), valueStarts(idx + 1), outEnd - outStart)
     }
-    val meta = spark.sparkContext
-      .parallelize(tasks, tasks.size)
-      .map { case (idx, frameStart, vStart, vEnd, outLen) =>
-        val tconf = confSer.value.value
-        val frameCnt = ((outLen + ReferenceFl.FrameLength - 1) / ReferenceFl.FrameLength).toInt
-        val bits = readRange(tconf, in, headerBytes + frameStart, frameCnt.toLong,
-          s"slice $idx bits")
-        val values = readRange(tconf, in, headerBytes + bitsSize + vStart, vEnd - vStart,
-          s"slice $idx values")
-        val raw = ReferenceFl.decompress(ReferenceFl.FlCompressed(outLen, bits, values))
-        writeFile(tconf, f"$partsDir/raw-$idx%05d", raw)
-        (idx, raw.length.toLong)
-      }
-      .collect()
-      .sortBy(_._1)
+    val total =
+      try {
+        val meta = spark.sparkContext
+          .parallelize(tasks, tasks.size)
+          .map { case (idx, frameStart, vStart, vEnd, outLen) =>
+            val tconf = confSer.value.value
+            val frameCnt = ((outLen + ReferenceFl.FrameLength - 1) / ReferenceFl.FrameLength).toInt
+            val bits = readRange(tconf, in, headerBytes + frameStart, frameCnt.toLong,
+              s"slice $idx bits")
+            val values = readRange(tconf, in, headerBytes + bitsSize + vStart, vEnd - vStart,
+              s"slice $idx values")
+            val raw = ReferenceFl.decompress(ReferenceFl.FlCompressed(outLen, bits, values))
+            writeFile(tconf, f"$partsDir/raw-$idx%05d", raw)
+            (idx, raw.length.toLong)
+          }
+          .collect()
+          .sortBy(_._1)
 
-    concatParts(conf, out, Array.emptyByteArray,
-      meta.map(m => (f"$partsDir/raw-${m._1}%05d", m._2)))
-    rmrf(conf, partsDir)
-    val total = meta.map(_._2).sum
+        concatParts(conf, out, Array.emptyByteArray,
+          meta.map(m => (f"$partsDir/raw-${m._1}%05d", m._2)))
+        meta.map(_._2).sum
+      } finally rmrf(conf, partsDir)
     require(total == inputSize, s"decoded $total bytes, header says $inputSize")
     total
-  }
-
-  private def header(inputSize: Long, bitsSize: Long, valuesSize: Long): Array[Byte] = {
-    val hdr = java.nio.ByteBuffer.allocate(ReferenceFl.HeaderBytes.toInt)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    hdr.putLong(inputSize).putLong(bitsSize).putLong(valuesSize)
-    hdr.array()
   }
 
   private def fs(conf: Configuration, path: String): FileSystem =
@@ -301,13 +311,22 @@ object FlFileJob {
         require(got == want,
           s"$part is $got bytes, task reported $want — corrupt part")
         val is = f.open(p)
+        // count what was ACTUALLY copied: the stat above races a zombie
+        // speculative attempt re-creating the part (create overwrite=true
+        // truncates), and a read-to-EOF loop would silently ship a short
+        // part into the middle of the output
+        var copied = 0L
         try {
           var n = is.read(buf)
           while (n >= 0) {
             os.write(buf, 0, n)
+            copied += n
             n = is.read(buf)
           }
         } finally is.close()
+        require(copied == want,
+          s"$part yielded $copied bytes mid-copy, task reported $want — " +
+            "part rewritten while concatenating (zombie attempt?)")
       }
     } finally os.close()
   }

@@ -46,8 +46,15 @@ object VerifyJob {
   // ANSI mode throws) once a url's hash sum crosses 2^63
   private def dig(c: String) = sum(xxhash64(col(c)).cast("decimal(38,0)"))
 
-  private def digests(ds: Dataset[Page], tag: String) =
-    ds.toDF().groupBy(col("url")).agg(
+  private def digests(ds: Dataset[Page], tag: String) = {
+    val df = ds.toDF()
+    // the row digest is derived FROM THE SCHEMA (every non-key column, in
+    // case-class order — identical on both sides by construction): a
+    // future Page field cannot silently escape verification. It may lack
+    // a NAMED per-column mismatch counter until one is added here, but
+    // rowMismatches covers its content from day one.
+    val payload = df.columns.filterNot(_ == "url").toSeq
+    df.groupBy(col("url")).agg(
       count(lit(1)).as(s"${tag}_n"),
       dig("text").as(s"${tag}_text"),
       dig("html").as(s"${tag}_html"),
@@ -56,8 +63,9 @@ object VerifyJob {
       // whole-row-tuple digest (variadic xxhash64 over all columns):
       // catches cross-row column re-pairing among duplicate-url rows,
       // which every per-column multiset digest is blind to
-      sum(xxhash64(col("text"), col("html"), col("warc_ts"), col("lang"))
-        .cast("decimal(38,0)")).as(s"${tag}_row"))
+      sum(xxhash64(payload.map(col): _*).cast("decimal(38,0)"))
+        .as(s"${tag}_row"))
+  }
 
   def run(spark: SparkSession, source: Dataset[Page], decoded: Dataset[Page]): Report = {
     import spark.implicits._

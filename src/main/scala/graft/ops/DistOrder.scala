@@ -109,6 +109,7 @@ object DistOrder {
     var prevV: String = null
     var havePrev = false
     val baseB = Map.newBuilder[Int, Long]
+    val countB = Map.newBuilder[Int, Long]
     summaries.foreach { r =>
       val part = r.getInt(0)
       val m = r.getLong(1)
@@ -117,19 +118,34 @@ object DistOrder {
       val merges = havePrev && firstV == prevV
       val b = if (merges) prevId else prevId + 1
       baseB += part -> b
+      countB += part -> m
       prevId = b + m - 1
       prevV = lastV
       havePrev = true
     }
     val baseBc = spark.sparkContext.broadcast(baseB.result())
+    val countBc = spark.sparkContext.broadcast(countB.result())
 
     import spark.implicits._
-    val result = localRuns
-      .map(r => (baseBc.value(r.part) + r.idx, r.v, r.len))
-      .toDF("run_id", "val", "run_len")
-      // a run chained across partitions shares one id; summing re-joins it
+    // Only a partition's FIRST or LAST run can share its global id with
+    // another partition's run (a chain covering a whole partition means
+    // m == 1 and that single run IS an edge run), so only edge runs go
+    // through the merge shuffle — O(2 * numParts) rows. Interior runs are
+    // final as assigned and flow through NARROW: the old groupBy over the
+    // whole run set re-shuffled O(#runs) rows (for a low-run-length
+    // column, ~#rows at the design scale) to merge at most 2*(numParts-1)
+    // of them, and map-side combine bought nothing since run ids are
+    // almost all unique.
+    val assigned = localRuns.map { r =>
+      val edge = r.idx == 0L || r.idx == countBc.value(r.part) - 1L
+      (baseBc.value(r.part) + r.idx, r.v, r.len, edge)
+    }.toDF("run_id", "val", "run_len", "edge")
+    val interior = assigned.filter(!col("edge"))
+      .select(col("run_id"), col("val"), col("run_len"))
+    val mergedEdges = assigned.filter(col("edge"))
       .groupBy(col("run_id"))
       .agg(min(col("val")).as("val"), sum(col("run_len")).as("run_len"))
+    val result = interior.union(mergedEdges)
     // materialize the (merged, smaller) result once; the checkpointed
     // intermediate's blocks are then unreferenced and cleaner-collected
     result.localCheckpoint(true)
