@@ -71,6 +71,9 @@ object SparkEntry {
     "q_line_dedup" -> (qLineDedup(_, _)),
     "q_doc_freq" -> (qDocFreq(_, _)),
     "q_contamination" -> (qContamination(_, _)),
+    "q_shuffle_shards" -> (qShuffleShards(_, _)),
+    "q_norm_dedup" -> (qNormDedup(_, _)),
+    "q_filter_funnel" -> (qFilterFunnel(_, _)),
     "q_engine_roundtrip" -> (qEngineRoundtrip(_, _)),
     "q_engine_rt_range" -> (qEngineRtRange(_, _)),
     // SQL-registered codec surface (Table B UDF/UDAF row)
@@ -612,6 +615,66 @@ object SparkEntry {
         |       count(DISTINCT e.user_id) AS n_users, count(*) AS n_events
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // same seeded-md5 sort key and leading-nibble shard on both engines,
+    // so the permutation is identical by construction (shift arithmetic
+    // for the nibbles — 16**k in doubles loses precision)
+    "q_shuffle_shards" ->
+      s"""WITH x AS (
+        |  SELECT doc_id, md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, skey,
+        |         CAST(list_sum(list_transform(range(1, 3), i ->
+        |           CAST(strpos('0123456789abcdef', substr(skey, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (2 - i))))
+        |           % ${graft.ops.Queries.ShuffleShards} AS BIGINT) AS shard
+        |  FROM x)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM y""".stripMargin,
+    // the whitespace class is explicit ([ \t\r\n]) on both engines: Java
+    // \s also eats \x0B where RE2's does not; DuckDB regexp_replace needs
+    // the 'g' flag (Spark's replaces all matches by default)
+    "q_norm_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, md5(text) AS raw_fp,
+        |         md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) AS norm_fp
+        |  FROM documents)
+        |SELECT norm_fp, count(*) AS cnt,
+        |       count(DISTINCT raw_fp) AS n_raw_variants,
+        |       min(doc_id) AS keep_id
+        |FROM n GROUP BY norm_fp""".stripMargin,
+    // cumulative stage flags; rep_e4 is the exact integer per-myriad of
+    // qRepetition (double round() ties diverge between engines)
+    "q_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT source, n_chars, lang,
+        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |         CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END AS s1,
+        |         len(toks) AS n_words,
+        |         CASE WHEN len(toks) > 0
+        |              THEN (len(toks) - len(list_distinct(toks))) * 10000 // len(toks)
+        |              ELSE 0 END AS rep_e4,
+        |         lang IN ('en', 'de', 'fr') AS lang_ok
+        |  FROM t),
+        |c AS (
+        |  SELECT source, s1,
+        |         CASE WHEN s1 = 1 AND lang_ok THEN 1 ELSE 0 END AS s2,
+        |         n_words, rep_e4
+        |  FROM s),
+        |d AS (
+        |  SELECT source, s1, s2,
+        |         CASE WHEN s2 = 1 AND rep_e4 < 3000 THEN 1 ELSE 0 END AS s3,
+        |         n_words
+        |  FROM c)
+        |SELECT source, count(*) AS n_total,
+        |       CAST(sum(s1) AS BIGINT) AS n_len,
+        |       CAST(sum(s2) AS BIGINT) AS n_lang,
+        |       CAST(sum(s3) AS BIGINT) AS n_rep,
+        |       CAST(sum(CASE WHEN s3 = 1 AND n_words >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_tok
+        |FROM d GROUP BY source""".stripMargin,
     // min(CASE WHEN ...) ignores non-matching rows in both engines;
     // strict < ordering decides the reached stage
     "q_funnel_steps" ->

@@ -1115,6 +1115,87 @@ object Queries {
           expr("(n_words - n_distinct) * 10000L div n_words"))
           .otherwise(lit(0L)).cast("bigint"))
 
+  /** Shard count for the deterministic corpus shuffle. 64 already dwarfs
+    * this sandbox's 32 cores; a real run raises it to O(output files) —
+    * the per-shard window serializes one shard per task, so shards must
+    * outnumber executors by enough that the scheduler can level them. */
+  val ShuffleShards = 64
+
+  /** Deterministic global training-order shuffle: every epoch pipeline
+    * ends by writing the corpus in a reproducible pseudorandom order.
+    * Each doc gets a content-derived sort key (md5 over a seeded doc_id
+    * string — reruns and both engines produce the SAME permutation), a
+    * shard from the key's leading nibbles, and a dense position within
+    * its shard. Global order = (shard, pos) — NO global sort and no
+    * single-partition window anywhere: one hash exchange on `shard`,
+    * then a per-shard window whose partitions the md5 keeps uniform.
+    * The alternative spellings fail at scale: orderBy(skey) is a global
+    * range sort whose skew is invisible until the biggest partition
+    * OOMs a sorter, and row_number() over the whole corpus is the
+    * single-partition WindowExec this repo bans. */
+  def qShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val skey = md5(concat(lit("shuf1:"), $"doc_id".cast("string")).cast("binary"))
+    val shard = conv(substring($"skey", 1, 2), 16, 10).cast("bigint") % ShuffleShards
+    val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
+    t(spark, dir, "documents")
+      .select($"doc_id", skey.as("skey"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select($"doc_id", $"shard", $"pos")
+  }
+
+  /** Normalization-aware exact dedup: group by a fingerprint of the
+    * CANONICALIZED text (lowercase, whitespace runs collapsed to one
+    * space, ends trimmed) so trivially-reformatted copies — the case and
+    * whitespace variants raw-hash dedup is blind to — land in one group.
+    * `n_raw_variants` counts distinct RAW hashes inside each group: > 1
+    * is exactly the set normalization caught. The whitespace class is
+    * spelled explicitly ([ \t\r\n]) on both engines — Java's \s also eats
+    * \x0B where RE2's does not, a cross-engine divergence this query must
+    * not inherit. One shuffle (partial-agg groupBy on the fingerprint);
+    * countDistinct's double aggregation is over an already-bounded group. */
+  def qNormDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower($"text"), "[ \\t\\r\\n]+", " "))
+    t(spark, dir, "documents")
+      .select($"doc_id", md5($"text".cast("binary")).as("raw_fp"),
+        md5(norm.cast("binary")).as("norm_fp"))
+      .groupBy($"norm_fp")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct($"raw_fp").as("n_raw_variants"),
+        min($"doc_id").as("keep_id"))
+  }
+
+  /** Quality-filter funnel: per-source survival counts through the
+    * cumulative gate chain every curation pipeline reports before a
+    * training run — length floor, allowed language, repetition cap,
+    * minimum token count. All four stage flags are row-local over ONE
+    * scan (the repetition ratio reuses [[TokensExpr]] and the exact
+    * integer per-myriad arithmetic — see qRepetition for why a double
+    * round() is banned in oracled ratios); the only shuffle is the
+    * map-side-combined groupBy(source) of five conditional sums. */
+  def qFilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val staged = t(spark, dir, "documents")
+      .select($"source", $"n_chars", $"lang", expr(TokensExpr).as("toks"))
+      .select(
+        $"source", $"n_chars", $"lang",
+        size($"toks").cast("bigint").as("n_words"),
+        size(array_distinct($"toks")).cast("bigint").as("n_distinct"))
+      .withColumn("rep_e4",
+        when($"n_words" > 0,
+          expr("(n_words - n_distinct) * 10000L div n_words"))
+          .otherwise(lit(0L)).cast("bigint"))
+      .withColumn("s1", ($"n_chars" >= 50L).cast("bigint"))
+      .withColumn("s2", ($"s1" === 1L && $"lang".isin("en", "de", "fr")).cast("bigint"))
+      .withColumn("s3", ($"s2" === 1L && $"rep_e4" < 3000L).cast("bigint"))
+      .withColumn("s4", ($"s3" === 1L && $"n_words" >= 10L).cast("bigint"))
+    staged.groupBy($"source").agg(
+      count(lit(1)).as("n_total"),
+      sum($"s1").as("n_len"),
+      sum($"s2").as("n_lang"),
+      sum($"s3").as("n_rep"),
+      sum($"s4").as("n_tok"))
+  }
+
   /** The one "synthesized line" definition shared by the line-granular
     * corpus ops (q_boilerplate, q_line_dedup) and their DuckDB oracles:
     * non-overlapping 8-token windows over the whitespace tokenization

@@ -124,6 +124,65 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       s"cohort mismatch: $cohort")
   }
 
+  test("norm dedup, filter funnel, and shuffle shards on hand-computed fixtures") {
+    import spark.implicits._
+    val dir = tmpDir("graft-queries-pipe")
+    // docs 0..3 are case/whitespace variants of one canonical text (the
+    // set raw-hash dedup is blind to); 4 stands alone. n_chars is the
+    // funnel's gate column and is set to the intended gate value.
+    val docs = Seq(
+      (0L, "Hello World", "en", "s", 100L),
+      (1L, "hello   world", "en", "s", 100L),
+      (2L, "  hello world \t", "en", "s", 100L),
+      (3L, "hello world", "en", "s", 100L),
+      (4L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "f", 100L), // survives all
+      (5L, "too short", "en", "f", 10L), // fails length
+      (6L, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "xx", "f", 100L), // fails lang
+      (7L, "a a a a a a a a a a a a", "en", "f", 100L), // rep 11*1e4/12 >= 3000
+      (8L, "one two three four five", "en", "f", 100L) // < 10 words
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val nd = Queries.qNormDedup(spark, dir)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    // 4 raw variants fold into ONE normalized group keeping doc 0; every
+    // other doc normalizes to itself
+    assert(nd.map(r => (r._2, r._3, r._4)) == Seq(
+      (4L, 4L, 0L), (1L, 1L, 4L), (1L, 1L, 5L), (1L, 1L, 6L), (1L, 1L, 7L), (1L, 1L, 8L)),
+      s"norm dedup mismatch: $nd")
+
+    val ff = Queries.qFilterFunnel(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // source f: 5 docs; doc5 fails length, doc6 lang, doc7 repetition,
+    // doc8 token floor -> cumulative 5/4/3/2/1. source s: all two-word
+    // docs pass length+lang+rep but fail the 10-token floor -> 4/4/4/4/0
+    assert(ff == Seq(
+      ("f", 5L, 4L, 3L, 2L, 1L),
+      ("s", 4L, 4L, 4L, 4L, 0L)),
+      s"filter funnel mismatch: $ff")
+
+    // shuffle: an independent in-JVM oracle recomputes the seeded-md5
+    // permutation; the query must match it exactly and be stable across
+    // invocations
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expected = (0L to 8L).map { id =>
+      val k = md5hex(s"shuf1:$id")
+      val shard = java.lang.Long.parseLong(k.substring(0, 2), 16) % Queries.ShuffleShards
+      (id, shard, k)
+    }.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case ((id, _, _), i) =>
+        (id, shard, i + 1L)
+      }
+    }.sortBy(_._1)
+    val got = Queries.qShuffleShards(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected, s"shuffle permutation mismatch: $got vs $expected")
+    val again = Queries.qShuffleShards(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got, "shuffle permutation not deterministic across runs")
+  }
+
   test("processScratch sweeps dead-JVM dirs, keeps live ones, wipes its own") {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val prefix = "graft-scrtest"
