@@ -79,6 +79,83 @@ object SparkEntry {
     // SQL-registered codec surface (Table B UDF/UDAF row)
     "q_sql_codec" -> (qSqlCodec(_, _)))
 
+  // ---- shared DuckDB CTE/expression twins -------------------------------
+  // Each is the single oracle-side spelling of a definition the Spark side
+  // also keeps in ONE place (Queries.shingleStream / minhashSig / bands4 /
+  // ccLabels / TokensExpr / tokenLines / qRepetition's rep_e4). They are
+  // interpolated into every oracle that uses them, so an edit to the
+  // shingle stride, band count, bucket cap, tokenization, or ratio
+  // arithmetic cannot drift one hand-pasted copy out of sync — the
+  // "change both engines together" rule is structural, not
+  // comment-enforced.
+
+  /** 8-char shingles at stride 4 (Queries.shingleStream). The dedup
+    * family aggregates min() over them, so DISTINCT is semantics-free
+    * there; the jaccard/contamination family COUNTS them and needs the
+    * DISTINCT variant below. */
+  private val ShinglesCte =
+    """sh AS (
+      |  SELECT doc_id, substr(text, CAST(u AS INT), 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
+      |        FROM documents))""".stripMargin
+
+  /** Set-semantics shingles (per-doc DISTINCT) for the counting oracles. */
+  private val DistinctShinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 8) AS s
+      |  FROM (SELECT doc_id, text,
+      |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
+      |        FROM documents))""".stripMargin
+
+  /** 4 MinHash families + banding (Queries.minhashSig / bands4). */
+  private val MinhashBandsCte =
+    """sig AS (
+      |  SELECT doc_id, min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+      |         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0 AS bucket FROM sig
+      |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+      |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+      |  UNION ALL SELECT doc_id, 3, h3 FROM sig)""".stripMargin
+
+  /** LSH candidate pairs (2..16 bucket cap) through the recursive-CTE
+    * connected-components labels — the oracle twin of Queries.ccLabels.
+    * `reach` seeds EVERY doc, so isolated docs self-label. */
+  private val LshLabelsCte =
+    """okb AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 16),
+      |mem AS (SELECT bands.doc_id, bands.band, bands.bucket FROM bands JOIN okb USING (band, bucket)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |          FROM mem a JOIN mem b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+      |reach(doc, other) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.other = e.src),
+      |labels AS (SELECT doc, min(other) AS label FROM reach GROUP BY doc)""".stripMargin
+
+  /** DuckDB twin of Queries.TokensExpr (whitespace tokens, empties
+    * dropped) — the load-bearing tokenization of the corpus-op oracles. */
+  private val TokensSql = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** Synthesized 8-token line windows over a `ts` token list column —
+    * twin of Queries.tokenLines (range(n) is empty for n <= 0, matching
+    * the Spark side's size(ts) > 0 guard). */
+  private val TokenLinesCte =
+    s"""toks AS (
+      |  SELECT doc_id, source, $TokensSql AS ts
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, source, CAST(i AS BIGINT) AS line_no,
+      |         array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS line
+      |  FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS i))""".stripMargin
+
+  /** Exact integer repetition per-myriad over a `toks` list column —
+    * twin of qRepetition's `(n_words - n_distinct) * 10000 div n_words`. */
+  private val RepE4Sql =
+    "CASE WHEN len(toks) > 0 THEN (len(toks) - len(list_distinct(toks))) * 10000 // len(toks) ELSE 0 END"
+
   def oracleSql: Map[String, String] = Map(
     "q_frame_width" ->
       """SELECT CAST(floor(doc_id / 128) AS BIGINT) AS frame,
@@ -201,62 +278,20 @@ object SparkEntry {
         |       round(quantile_cont(n_chars, 0.99), 4) AS p99
         |FROM documents GROUP BY lang""".stripMargin,
     "q_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, substr(text, CAST(u AS INT), 8) AS s
-        |  FROM (SELECT doc_id, text,
-        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
-        |        FROM documents)),
-        |sig AS (
-        |  SELECT doc_id, min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
-        |         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, h0 AS bucket FROM sig
-        |  UNION ALL SELECT doc_id, 1, h1 FROM sig
-        |  UNION ALL SELECT doc_id, 2, h2 FROM sig
-        |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
-        |okb AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 16),
-        |mem AS (SELECT bands.doc_id, bands.band, bands.bucket FROM bands JOIN okb USING (band, bucket)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        |          FROM mem a JOIN mem b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-        |reach(doc, other) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.other = e.src),
-        |labels AS (SELECT doc, min(other) AS label FROM reach GROUP BY doc)
-        |SELECT label AS cluster_id, count(*) AS n_docs FROM labels GROUP BY label""".stripMargin,
+      s"""WITH RECURSIVE $ShinglesCte,
+$MinhashBandsCte,
+$LshLabelsCte
+SELECT label AS cluster_id, count(*) AS n_docs FROM labels GROUP BY label""",
     // same candidate/edge CTEs as q_dedup_clusters; the apply step labels
     // EVERY document (reach seeds every doc, so isolated docs self-label)
     // and keeper = "my id is my cluster's min id"
     "q_dedup_apply" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, substr(text, CAST(u AS INT), 8) AS s
-        |  FROM (SELECT doc_id, text,
-        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
-        |        FROM documents)),
-        |sig AS (
-        |  SELECT doc_id, min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
-        |         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, h0 AS bucket FROM sig
-        |  UNION ALL SELECT doc_id, 1, h1 FROM sig
-        |  UNION ALL SELECT doc_id, 2, h2 FROM sig
-        |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
-        |okb AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 16),
-        |mem AS (SELECT bands.doc_id, bands.band, bands.bucket FROM bands JOIN okb USING (band, bucket)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        |          FROM mem a JOIN mem b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-        |reach(doc, other) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.other = e.src),
-        |labels AS (SELECT doc, min(other) AS label FROM reach GROUP BY doc)
-        |SELECT doc AS doc_id, label AS cluster_id,
-        |       CAST(CASE WHEN doc = label THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-        |FROM labels""".stripMargin,
+      s"""WITH RECURSIVE $ShinglesCte,
+$MinhashBandsCte,
+$LshLabelsCte
+SELECT doc AS doc_id, label AS cluster_id,
+       CAST(CASE WHEN doc = label THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM labels""",
     "q_token_count" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -281,22 +316,10 @@ object SparkEntry {
         |       CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     "q_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id, substr(text, CAST(u AS INT), 8) AS s
-        |  FROM (SELECT doc_id, text,
-        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
-        |        FROM documents)),
-        |sig AS (
-        |  SELECT doc_id, min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
-        |         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, h0 AS bucket FROM sig
-        |  UNION ALL SELECT doc_id, 1, h1 FROM sig
-        |  UNION ALL SELECT doc_id, 2, h2 FROM sig
-        |  UNION ALL SELECT doc_id, 3, h3 FROM sig)
-        |SELECT CAST(band AS BIGINT) AS band, bucket, count(*) AS cnt, min(doc_id) AS min_doc
-        |FROM bands GROUP BY band, bucket""".stripMargin,
+      s"""WITH $ShinglesCte,
+$MinhashBandsCte
+SELECT CAST(band AS BIGINT) AS band, bucket, count(*) AS cnt, min(doc_id) AS min_doc
+FROM bands GROUP BY band, bucket""",
     "q_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
@@ -320,8 +343,8 @@ object SparkEntry {
         |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
         |         sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
         |  FROM embeddings, q)
-        |SELECT vec_id, round(dot / (na * nb), 4) AS cos_sim FROM d
-        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+        |SELECT vec_id, CAST(floor(dot / (na * nb) * 10000) AS BIGINT) AS cos_e4 FROM d
+        |ORDER BY cos_e4 DESC, vec_id LIMIT 20""".stripMargin,
     // mirrors the Spark-side 2-round deterministic Lloyd build: quantized
     // (floor(x * 2^20)) integer mean sums are aggregation-order-exact, so
     // both engines compute bit-identical centroids; distances/cosines then
@@ -330,7 +353,9 @@ object SparkEntry {
       // round count and quant scale come from the SAME constants the
       // Spark side iterates with — tuning Queries.IvfKmeansRounds /
       // IvfQuantScale can never silently desynchronize the oracle
-      val scale = graft.ops.Queries.IvfQuantScale.toLong
+      // exact decimal spelling of the double — a non-integral tuning of
+      // the scale interpolates faithfully instead of silently truncating
+      val scale = BigDecimal(graft.ops.Queries.IvfQuantScale).toString
       def kmRound(prev: String, idx: Int): String =
         s"""d$idx AS (
            |  SELECT e.vec_id, e.embedding, c.cell,
@@ -373,10 +398,10 @@ object SparkEntry {
          |    i -> (c.cv[i] - CAST(q.qv[i] AS DOUBLE)) * (c.cv[i] - CAST(q.qv[i] AS DOUBLE)))), c.cell
          |  LIMIT 2)
          |SELECT a.cell, a.vec_id,
-         |       round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
-         |       (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+         |       CAST(floor(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+         |       (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000) AS BIGINT) AS cos_e4
          |FROM asg a JOIN probe USING (cell), q
-         |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin
+         |ORDER BY cos_e4 DESC, a.vec_id LIMIT 10""".stripMargin
     },
     "q_embed_lsh_buckets" ->
       ("""SELECT CAST(""" + (1 to graft.ops.Queries.EmbedLshBits).map(i =>
@@ -388,12 +413,8 @@ object SparkEntry {
         |       md5(text) AS content_hash, substr(text, 1, 4) AS magic
         |FROM documents""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 8) AS s
-        |  FROM (SELECT doc_id, text,
-        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
-        |        FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      (s"""WITH $DistinctShinglesCte,
+""" + """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |sig AS (SELECT doc_id, min(md5('0' || s)) AS bucket FROM sh GROUP BY doc_id),
         |okb AS (SELECT bucket FROM sig GROUP BY bucket HAVING count(*) BETWEEN 2 AND 16),
         |mem AS (SELECT sig.doc_id, sig.bucket FROM sig JOIN okb USING (bucket)),
@@ -407,7 +428,7 @@ object SparkEntry {
         |       CAST(COALESCE(com.common, 0) * 10000 // (na.n_sh + nb.n_sh - COALESCE(com.common, 0)) AS BIGINT) AS jaccard_e4
         |FROM pairs p LEFT JOIN com USING (doc_a, doc_b)
         |JOIN sizes na ON p.doc_a = na.doc_id
-        |JOIN sizes nb ON p.doc_b = nb.doc_id""".stripMargin,
+        |JOIN sizes nb ON p.doc_b = nb.doc_id""".stripMargin),
     "q_embed_neardup" -> {
       def bits(off: Int) = (1 to 8).map(i =>
         s"(CASE WHEN embedding[${off + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ")
@@ -420,11 +441,12 @@ object SparkEntry {
          |p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |      FROM mo a JOIN mo b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |c AS (SELECT vec_a, vec_b,
-         |  round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+         |  list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
          |  (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-         |  , 4) AS cos_sim
+         |  AS cos_raw
          |  FROM p JOIN embeddings ea ON p.vec_a = ea.vec_id JOIN embeddings eb ON p.vec_b = eb.vec_id)
-         |SELECT vec_a, vec_b, cos_sim FROM c WHERE cos_sim >= 0.25""".stripMargin
+         |SELECT vec_a, vec_b, CAST(floor(cos_raw * 10000) AS BIGINT) AS cos_e4
+         |FROM c WHERE cos_raw >= 0.25""".stripMargin
     },
     "q_mm_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -493,48 +515,29 @@ object SparkEntry {
     // round(ratio, 4) ties at the 5th decimal for small exact rationals
     // and the engines resolve ties differently (see qRepetition)
     "q_repetition" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
-        |  FROM documents)
-        |SELECT doc_id,
-        |       CAST(len(toks) AS BIGINT) AS n_words,
-        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        |       CAST(CASE WHEN len(toks) > 0
-        |            THEN (len(toks) - len(list_distinct(toks))) * 10000 // len(toks)
-        |            ELSE 0 END AS BIGINT) AS rep_e4
-        |FROM t""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST($RepE4Sql AS BIGINT) AS rep_e4
+FROM t""",
     // shared "synthesized line" CTE (8-token non-overlapping windows over
     // the whitespace tokenization) — mirrors Queries.tokenLines exactly;
     // DuckDB range(n) is empty for n <= 0, matching the Spark-side
     // size(ts) > 0 guard (empty docs yield zero lines on both engines)
     "q_boilerplate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
-        |  FROM documents),
-        |lines AS (
-        |  SELECT doc_id, source,
-        |         array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS line
-        |  FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS i)),
-        |boiler AS (
+      (s"""WITH $TokenLinesCte,
+""" + """boiler AS (
         |  SELECT source, line FROM lines
         |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2)
         |SELECT l.doc_id, count(*) AS n_lines, count(b.line) AS n_boiler
         |FROM lines l LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin),
     // keep-first winner via row_number here is oracle-scale-only; the
     // Spark side uses groupBy + min(struct) (partial-agg, skew-safe)
     "q_line_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
-        |  FROM documents),
-        |lines AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
-        |         array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS line
-        |  FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS i)),
-        |w AS (
+      (s"""WITH $TokenLinesCte,
+""" + """w AS (
         |  SELECT line, doc_id AS wdoc, line_no AS wno FROM (
         |    SELECT line, doc_id, line_no,
         |           row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
@@ -543,35 +546,30 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN l.doc_id = w.wdoc AND l.line_no = w.wno
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines
         |FROM lines l JOIN w USING (line)
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin),
     // mean_df_e4 uses exact integer floor-division on both engines
     // (DuckDB sums are HUGEINT; the Spark side sums in decimal(38,0) and
     // divides with `div`) — no double arithmetic anywhere
     "q_doc_freq" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS token
-        |  FROM documents),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+      (s"""WITH toks AS (
+  SELECT doc_id, unnest($TokensSql) AS token
+  FROM documents),
+""" + """df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
         |SELECT t.doc_id, count(*) AS n_tokens,
         |       CAST(sum(d.df) * 10000 // (count(*) * (SELECT count(*) FROM documents)) AS BIGINT) AS mean_df_e4
         |FROM toks t JOIN df d USING (token)
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin),
     "q_contamination" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 8) AS s
-        |  FROM (SELECT doc_id, text,
-        |               unnest(range(1, greatest(1, length(text) - 7) + 1, 4)) AS u
-        |        FROM documents)),
-        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+      (s"""WITH $DistinctShinglesCte,
+""" + """b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
         |c AS (SELECT sh.doc_id, sh.s, b.bench_id FROM sh JOIN b USING (s) WHERE sh.doc_id >= 20)
         |SELECT doc_id, count(DISTINCT s) AS n_shared, min(bench_id) AS first_hit
-        |FROM c GROUP BY doc_id""".stripMargin,
+        |FROM c GROUP BY doc_id""".stripMargin),
     "q_sessionize" ->
       """WITH b AS (
         |  SELECT user_id, event_id, ts, value,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
@@ -646,19 +644,17 @@ object SparkEntry {
     // cumulative stage flags; rep_e4 is the exact integer per-myriad of
     // qRepetition (double round() ties diverge between engines)
     "q_filter_funnel" ->
-      """WITH t AS (
-        |  SELECT source, n_chars, lang,
-        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT source,
-        |         CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END AS s1,
-        |         len(toks) AS n_words,
-        |         CASE WHEN len(toks) > 0
-        |              THEN (len(toks) - len(list_distinct(toks))) * 10000 // len(toks)
-        |              ELSE 0 END AS rep_e4,
-        |         lang IN ('en', 'de', 'fr') AS lang_ok
-        |  FROM t),
+      (s"""WITH t AS (
+  SELECT source, n_chars, lang, $TokensSql AS toks
+  FROM documents),
+s AS (
+  SELECT source,
+         CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END AS s1,
+         len(toks) AS n_words,
+         $RepE4Sql AS rep_e4,
+         lang IN ('en', 'de', 'fr') AS lang_ok
+  FROM t),
+""" + """
         |c AS (
         |  SELECT source, s1,
         |         CASE WHEN s1 = 1 AND lang_ok THEN 1 ELSE 0 END AS s2,
@@ -674,7 +670,7 @@ object SparkEntry {
         |       CAST(sum(s2) AS BIGINT) AS n_lang,
         |       CAST(sum(s3) AS BIGINT) AS n_rep,
         |       CAST(sum(CASE WHEN s3 = 1 AND n_words >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_tok
-        |FROM d GROUP BY source""".stripMargin,
+        |FROM d GROUP BY source""".stripMargin),
     // min(CASE WHEN ...) ignores non-matching rows in both engines;
     // strict < ordering decides the reached stage
     "q_funnel_steps" ->

@@ -353,9 +353,15 @@ object Queries {
       "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
     val nrm = (c: String) => expr(
       s"sqrt(aggregate($c, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    // cos_e4 = floor(cos * 1e4): floor has no tie to resolve, so the two
+    // engines cannot disagree the way round(x, 4) does (Spark rounds the
+    // exact decimal expansion of the double HALF_UP, DuckDB std::round's
+    // the binary product — a documented 5th-decimal divergence this repo
+    // bans in oracled columns; see qRepetition)
     e.crossJoin(broadcast(q))
-      .select($"vec_id", round(dot / (nrm("embedding") * nrm("qv")), 4).as("cos_sim"))
-      .orderBy($"cos_sim".desc, $"vec_id").limit(20)
+      .select($"vec_id",
+        floor(dot / (nrm("embedding") * nrm("qv")) * 10000d).cast("bigint").as("cos_e4"))
+      .orderBy($"cos_e4".desc, $"vec_id").limit(20)
   }
 
   /** How many leading dimensions feed the ANN sign-LSH bucket. 16 bits =
@@ -471,7 +477,7 @@ object Queries {
     // the query's schema, matching the old plan's empty crossJoin flow
     // instead of a zero-arg least() analysis error
     if (cents.isEmpty || qv.isEmpty)
-      return e.select(lit(0L).as("cell"), $"vec_id", lit(0d).as("cos_sim"))
+      return e.select(lit(0L).as("cell"), $"vec_id", lit(0L).as("cos_e4"))
         .filter(lit(false))
     // the 2 cells nearest to the query — driver arithmetic over the same
     // (cv[i] - qv[i])^2 left-fold the old dist2 SQL computed
@@ -489,9 +495,11 @@ object Queries {
       lit(0d), (acc, v) => acc + v)
     val nrmEmb = sqrt(aggregate($"embedding", lit(0d),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
+    // floor-e4 cosine — tie-free across engines, see qEmbedTopk
     assign(cents).filter($"cell".isin(probed: _*))
-      .select($"cell", $"vec_id", round(dot / (nrmEmb * lit(qNorm)), 4).as("cos_sim"))
-      .orderBy($"cos_sim".desc, $"vec_id").limit(10)
+      .select($"cell", $"vec_id",
+        floor(dot / (nrmEmb * lit(qNorm)) * 10000d).cast("bigint").as("cos_e4"))
+      .orderBy($"cos_e4".desc, $"vec_id").limit(10)
   }
 
   /** AS-OF join — the temporal operator Spark has no native form of
@@ -729,12 +737,17 @@ object Queries {
       "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
     val nrm = (c: String) => expr(
       s"sqrt(aggregate($c, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    // the similarity gate runs on the RAW double (bit-identical across
+    // engines — same fold order) and the emitted column is the tie-free
+    // floor-e4, see qEmbedTopk; gating on a rounded value let the
+    // documented round(x, 4) divergence flip row MEMBERSHIP at the 0.25
+    // boundary, not just a digit
     pairs
       .join(e.select($"vec_id".as("vec_a"), $"embedding".as("a_emb")), "vec_a")
       .join(e.select($"vec_id".as("vec_b"), $"embedding".as("b_emb")), "vec_b")
-      .select($"vec_a", $"vec_b",
-        round(dot / (nrm("a_emb") * nrm("b_emb")), 4).as("cos_sim"))
-      .filter($"cos_sim" >= 0.25)
+      .select($"vec_a", $"vec_b", (dot / (nrm("a_emb") * nrm("b_emb"))).as("cos_raw"))
+      .filter($"cos_raw" >= 0.25)
+      .select($"vec_a", $"vec_b", floor($"cos_raw" * 10000d).cast("bigint").as("cos_e4"))
   }
 
   /** Multimodal decode stub: media payloads are opaque bytes decoded in
