@@ -62,6 +62,10 @@ object SparkEntry {
     "q_range_pairs" -> (qRangePairs(_, _)),
     "q_cohort_retention" -> (qCohortRetention(_, _)),
     "q_funnel_steps" -> (qFunnelSteps(_, _)),
+    "q_latest_event" -> (qLatestEvent(_, _)),
+    "q_pivot_events" -> (qPivotEvents(_, _)),
+    "q_unpivot_events" -> (qUnpivotEvents(_, _)),
+    "q_bigram_pmi" -> (qBigramPmi(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
     "q_vocab_topk" -> (qVocabTopk(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -687,5 +691,53 @@ s AS (
         |         WHEN t1 IS NOT NULL THEN 1
         |         ELSE 0 END AS BIGINT) AS stage,
         |       count(*) AS n_users
-        |FROM f GROUP BY 1""".stripMargin)
+        |FROM f GROUP BY 1""".stripMargin,
+    // row_number spelling is oracle-scale only — the Spark side is a
+    // partial-aggregable max over a lexicographic struct
+    "q_latest_event" ->
+      """SELECT user_id, us AS ts_us, event_id, event_type, n_events FROM (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS "click",
+        |       count(*) FILTER (WHERE event_type = 'error') AS "error",
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |       count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |       count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+    // the plain group-by IS the oracle: hash equality asserts the
+    // unpivot∘pivot round-trip identity on the Spark side
+    "q_unpivot_events" ->
+      "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    // exact integer PMI ordering: score_e6 = c_xy*N*1e6 // (c_x*c_y) in
+    // HUGEINT (the Spark side uses decimal(38,0) + div) — both floor
+    // exactly, no float log in the comparison; N is summed BEFORE the
+    // min-count cut
+    "q_bigram_pmi" ->
+      s"""WITH toks AS (SELECT $TokensSql AS ts FROM documents),
+        |t2 AS (SELECT ts FROM toks WHERE len(ts) > 0),
+        |cnt AS (
+        |  SELECT x, y, count(*) AS c FROM (
+        |    SELECT unnest(ts) AS x, CAST(NULL AS VARCHAR) AS y FROM t2
+        |    UNION ALL
+        |    SELECT ts[i] AS x, ts[i + 1] AS y
+        |    FROM t2, LATERAL (SELECT unnest(range(1, len(ts))) AS i))
+        |  GROUP BY 1, 2),
+        |cxy AS (SELECT x, y, c AS c_xy FROM cnt WHERE y IS NOT NULL),
+        |uni AS (SELECT x AS tok, c AS c_tok FROM cnt WHERE y IS NULL),
+        |tot AS (SELECT sum(c_xy) AS n_total FROM cxy)
+        |SELECT cxy.x, cxy.y, cxy.c_xy,
+        |       CAST(CAST(cxy.c_xy AS HUGEINT) * n_total * 1000000
+        |            // (CAST(ux.c_tok AS HUGEINT) * uy.c_tok) AS BIGINT) AS score_e6
+        |FROM cxy
+        |JOIN uni ux ON ux.tok = cxy.x
+        |JOIN uni uy ON uy.tok = cxy.y
+        |CROSS JOIN tot
+        |WHERE cxy.c_xy >= 3
+        |ORDER BY score_e6 DESC, cxy.x, cxy.y
+        |LIMIT 20""".stripMargin)
 }

@@ -623,6 +623,118 @@ object Queries {
       .groupBy($"stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Arg-max compaction: the latest event per user (ts DESC, event_id
+    * DESC tiebreak) plus the per-user event count — the CDC
+    * keep-latest-snapshot shape (for the engine's corpus: keep the most
+    * recent crawl of each url). ONE map-side-combined shuffle bounded by
+    * #keys: max over the lexicographic (us, event_id, payload) struct is
+    * an associative partial-aggregable max — unlike the row_number-window
+    * spelling (the oracle's, oracle-scale only), which shuffles and sorts
+    * the FULL event log with no partial aggregation. event_id is unique,
+    * so the struct comparison never reaches the payload field and the
+    * winner is total-order deterministic. */
+  def qLatestEvent(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select($"user_id",
+        struct(unix_micros($"ts".cast("timestamp")).as("us"),
+          $"event_id", $"event_type").as("ev"))
+      .groupBy($"user_id")
+      .agg(max($"ev").as("m"), count(lit(1)).as("n_events"))
+      .select($"user_id", $"m.us".as("ts_us"), $"m.event_id".as("event_id"),
+        $"m.event_type".as("event_type"), $"n_events")
+
+  /** The closed event-type vocabulary for the pivot pair. EXPLICIT value
+    * list: the discovery variant (`pivot(col)` with no values) runs an
+    * extra distinct job over the corpus and, on an unbounded type
+    * column, blows the column budget — a pivot at scale requires a
+    * bounded, declared vocabulary. */
+  private[ops] val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Relational PIVOT: per-user event-type counts as a wide matrix. With
+    * the explicit value list Spark plans this as two chained hash
+    * aggregations — corpus → (user, type) counts (the heavy reduction,
+    * fully map-side combined), then a PivotFirst re-aggregation whose
+    * exchange carries only the bounded (#users × |types|) pair table —
+    * no per-type scan, no join, no distinct-discovery job. (The manual
+    * `count(CASE WHEN ...)` spelling — the oracle's — would do it in one
+    * shuffle; `pivot()` is used here deliberately as the operator under
+    * test, and its extra exchange moves already-reduced rows.) Absent
+    * (user, type) cells normalize to 0 to match the oracle. */
+  def qPivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select($"user_id" +: EventTypes.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+  }
+
+  /** Relational UNPIVOT (melt): the pivoted wide matrix back to long
+    * (user_id, event_type, n), zero cells dropped. The oracle is the
+    * plain (user_id, event_type) group-by — so the driver's hash compare
+    * ASSERTS the `unpivot ∘ pivot = groupBy` round-trip identity rather
+    * than assuming it. unpivot itself is a row-local generator (Expand):
+    * the only shuffle in the plan is the pivot's own aggregation. */
+  def qUnpivotEvents(spark: SparkSession, dir: String): DataFrame =
+    qPivotEvents(spark, dir)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .filter($"n" > 0)
+
+  /** Collocation mining: top-20 bigrams by PMI over the corpus token
+    * stream (phrase discovery for tokenizer/vocab curation). Shape: the
+    * unigram and bigram streams are emitted row-locally from ONE corpus
+    * scan as a single keyed stream ((x, NULL) = unigram, (x, y) =
+    * bigram), so one map-side-combined shuffle produces both count
+    * tables; the bounded counts table is cut once (lazy localCheckpoint,
+    * the q_ngram_jaccard pattern) because three consumers read it — the
+    * bigram side, and the unigram lookup joined on each bigram leg. Those
+    * joins touch only vocabulary-bounded tables (AQE broadcasts them at
+    * small scale; at web scale they hash-join on the token key — an
+    * unconditional broadcast of a web-corpus vocabulary would OOM the
+    * driver). The PMI ORDER is exact integer arithmetic:
+    * score_e6 = c_xy * N * 10^6 div (c_x * c_y) with operands cast to
+    * decimal(38,0) BEFORE multiplying (Long*Long would overflow first
+    * under ANSI; the result is ≤ N·10^6 < Long.Max at 10^12 bigrams and
+    * IntegralDivide returns BIGINT) — monotone in PMI, so the float log
+    * never enters the comparison and both engines rank identically. The
+    * final top-k is TakeOrdered under the total order (score_e6 DESC, x,
+    * y) — no global sort. */
+  def qBigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split($"text", " "), c => length(c) > 0)
+    val ts0 = t(spark, dir, "documents")
+      .select(toks.as("ts")).filter(size($"ts") > 0)
+    // one generator pass: every token as (x, NULL), every adjacent pair
+    // as (x, y). slice(ts, 1, size-1) is empty for 1-token docs (length
+    // 0 slice), so no bogus pairs; transform's index i is 0-based and
+    // ts[i+1] is the 0-based successor element.
+    val entries = ts0.select(explode(concat(
+        expr("transform(ts, c -> struct(c AS x, CAST(NULL AS STRING) AS y))"),
+        expr("transform(slice(ts, 1, size(ts) - 1), (c, i) -> struct(c AS x, ts[i + 1] AS y))")))
+      .as("e"))
+      .select($"e.x".as("x"), $"e.y".as("y"))
+    // bounded by |vocab| + |distinct bigrams| — cut ONCE for its three
+    // consumers (uncut, each would re-scan and re-explode the corpus;
+    // filters on the grouping key would push below the aggregate and
+    // un-canonicalize the exchange, defeating ReusedExchange)
+    val counts = entries.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val cxyAll = counts.filter($"y".isNotNull)
+      .select($"x", $"y", $"c".as("c_xy"))
+    val uni = counts.filter($"y".isNull).select($"x".as("tok"), $"c".as("c_tok"))
+    // N = total bigram instances, BEFORE the min-count cut (PMI's
+    // normalizer is corpus mass, not candidate mass); 1-row broadcast
+    val totals = cxyAll.agg(sum($"c_xy").as("n_total"))
+    cxyAll.filter($"c_xy" >= 3)
+      .join(uni.select($"tok".as("x"), $"c_tok".as("c_x")), "x")
+      .join(uni.select($"tok".as("y"), $"c_tok".as("c_y")), "y")
+      .crossJoin(broadcast(totals))
+      .select($"x", $"y", $"c_xy",
+        expr("(CAST(c_xy AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0)) * 1000000)" +
+          " div (CAST(c_x AS DECIMAL(38,0)) * CAST(c_y AS DECIMAL(38,0)))").as("score_e6"))
+      .orderBy($"score_e6".desc, $"x", $"y")
+      .limit(20)
+  }
+
   /** Multimodal plumbing: binary metadata extraction (bytes, hash, magic). */
   def qBinaryMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(

@@ -124,6 +124,78 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       s"cohort mismatch: $cohort")
   }
 
+  test("latest-event compaction, pivot/unpivot, and bigram PMI on hand-computed fixtures") {
+    import spark.implicits._
+    val dir = tmpDir("graft-queries-compact")
+    def ts(day: Int, sec: Int) =
+      java.time.LocalDateTime.of(2024, 1, 1 + day, 0, 0, 0).plusSeconds(sec)
+    def us(day: Int, sec: Int) =
+      ts(day, sec).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val rows = Seq(
+      (1L, ts(0, 10), 1L, "signup", 1.0, "{}"),
+      (2L, ts(0, 20), 1L, "click", 1.0, "{}"),
+      (3L, ts(1, 30), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(3, 40), 1L, "view", 1.0, "{}"),
+      (5L, ts(1, 10), 2L, "click", 1.0, "{}"),
+      (6L, ts(2, 20), 2L, "signup", 1.0, "{}"),
+      // user 3: two events at the IDENTICAL timestamp — the event_id
+      // tiebreak in the lexicographic struct must decide (event 8 wins)
+      (7L, ts(2, 10), 3L, "signup", 1.0, "{}"),
+      (8L, ts(2, 10), 3L, "click", 1.0, "{}"),
+      (9L, ts(0, 5), 4L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+    rows.write.parquet(s"$dir/events.parquet")
+
+    val latest = Queries.qLatestEvent(spark, dir)
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(latest == Seq(
+      (1L, us(3, 40), 4L, "view", 4L),
+      (2L, us(2, 20), 6L, "signup", 2L),
+      (3L, us(2, 10), 8L, "click", 2L),
+      (4L, us(0, 5), 9L, "view", 1L)),
+      s"latest-event mismatch: $latest")
+
+    // wide matrix: (click, error, purchase, signup, view) per user,
+    // absent cells 0 — and the unpivot drops exactly those zero cells
+    val pivot = Queries.qPivotEvents(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(pivot == Seq(
+      (1L, 1L, 0L, 1L, 1L, 1L),
+      (2L, 1L, 0L, 0L, 1L, 0L),
+      (3L, 1L, 0L, 0L, 1L, 0L),
+      (4L, 0L, 0L, 0L, 0L, 1L)),
+      s"pivot mismatch: $pivot")
+    val unpivot = Queries.qUnpivotEvents(spark, dir)
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(unpivot == Seq(
+      (1L, "click", 1L), (1L, "purchase", 1L), (1L, "signup", 1L), (1L, "view", 1L),
+      (2L, "click", 1L), (2L, "signup", 1L),
+      (3L, "click", 1L), (3L, "signup", 1L),
+      (4L, "view", 1L)),
+      s"unpivot mismatch: $unpivot")
+
+    // bigram PMI: unigrams x4 y4 p3 q3 r1; bigrams (x,y)4 (y,x)3 (p,q)3
+    // (q,r)1 (q,p)1 -> N=12; candidates c_xy>=3 score
+    // c_xy*12e6 // (c_x*c_y): (p,q) 4_000_000, (x,y) 3_000_000,
+    // (y,x) 2_250_000
+    val ddir = tmpDir("graft-queries-pmi")
+    Seq(
+      (0L, "x y x y x y x y", "en", "s", 15L),
+      (1L, "p q r", "en", "s", 5L),
+      (2L, "p q p q", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$ddir/documents.parquet")
+    val pmi = Queries.qBigramPmi(spark, ddir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(pmi == Seq(
+      ("p", "q", 3L, 4000000L),
+      ("x", "y", 4L, 3000000L),
+      ("y", "x", 3L, 2250000L)),
+      s"bigram PMI mismatch: $pmi")
+  }
+
   test("norm dedup, filter funnel, and shuffle shards on hand-computed fixtures") {
     import spark.implicits._
     val dir = tmpDir("graft-queries-pipe")
