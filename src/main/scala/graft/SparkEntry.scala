@@ -80,6 +80,7 @@ object SparkEntry {
     "q_filter_funnel" -> (qFilterFunnel(_, _)),
     "q_engine_roundtrip" -> (qEngineRoundtrip(_, _)),
     "q_engine_rt_range" -> (qEngineRtRange(_, _)),
+    "q_dsv2_read" -> (qDsv2Read(_, _)),
     // SQL-registered codec surface (Table B UDF/UDAF row)
     "q_sql_codec" -> (qSqlCodec(_, _)))
 
@@ -478,6 +479,13 @@ FROM bands GROUP BY band, bucket""",
     "q_engine_rt_range" ->
       """SELECT printf('https://doc.example/%09d', doc_id) AS url, lang
         |FROM documents WHERE doc_id BETWEEN 100 AND 299""".stripMargin,
+    // the DSv2 connector's pushdown path: encode -> format("graft") scan
+    // with consumed url bounds + pruned columns; recomputed straight from
+    // the source table like the engine round-trips
+    "q_dsv2_read" ->
+      """SELECT printf('https://doc.example/%09d', doc_id) AS url,
+        |       md5(text) AS text_md5, lang
+        |FROM documents WHERE doc_id BETWEEN 50 AND 449""".stripMargin,
     // same md5-nibble hash on both engines (shift arithmetic, not 16**k —
     // exact in integers), so the sampled set is identical by construction
     "q_sample_stratified" ->

@@ -38,7 +38,7 @@ object DecodeJob {
     * encoder recorded for this chunk — corruption fails fast, at the
     * chunk that broke, instead of surfacing later as a verify-join
     * mismatch. */
-  private def requireTextCrc(v: graft.codec.ColumnCodec.BytesView,
+  private[graft] def requireTextCrc(v: graft.codec.ColumnCodec.BytesView,
                              recorded: Long, pid: Int, blockIdx: Int): Unit = {
     val crc = new java.util.zip.CRC32()
     var k = 0

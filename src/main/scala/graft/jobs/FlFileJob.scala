@@ -122,8 +122,9 @@ object FlFileJob {
     * (Spark's own org.apache.spark.util.SerializableConfiguration is
     * private[spark] at the Scala level — not reusable here.) Broadcast
     * by the callers, so the conf ships once per executor, not once per
-    * task closure. */
-  private final class SerializableConf(@transient var value: Configuration)
+    * task closure. Shared with the DSv2 connector ([[graft.sources]]) —
+    * the one copy of this wire format in the codebase. */
+  private[graft] final class SerializableConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject()

@@ -1517,6 +1517,27 @@ object Queries {
     DecodeJob.runProjected(spark, out, Seq("url", "lang"), Some((lo, hi)))
   }
 
+  /** The DataSource V2 connector under the oracle: same encode as
+    * [[qEngineRoundtrip]] (own scratch dir), read back through
+    * `spark.read.format("graft")` with BOTH pushdowns live — a url-range
+    * predicate (consumed by the scan: chunk-level (urlMin, urlMax)
+    * pruning + exact row filtering, no post-scan url filter) and a
+    * projection that drops html/warc_ts (the reader's pruned parquet
+    * MessageType never touches their block leaves). text_md5 proves the
+    * decoded text bytes, so the hash compare asserts the whole
+    * scan → prune → decode → filter path against DuckDB. */
+  def qDsv2Read(spark: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.EncodeJob
+    val pages = enginePages(spark, dir)
+    val out = processScratch("graft-dsv2-rt", dir, sessionTok(spark))
+    EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
+    val lo = "https://doc.example/%09d".format(50L)
+    val hi = "https://doc.example/%09d".format(449L)
+    spark.read.format("graft").load(out)
+      .filter($"url" >= lo && $"url" <= hi)
+      .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")
+  }
+
   /** JSON functions: serialize per-row metadata to JSON and extract it
     * back (each engine builds its own JSON, so only the extracted values
     * — identical across engines — are compared). The shape of a sidecar
