@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, InsertableRelation, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -84,13 +86,75 @@ object GraftDataSource {
     StructField("lang", StringType)))
 }
 
-final class GraftTable(path: String) extends Table with SupportsRead {
+final class GraftTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = GraftDataSource.PageSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE is what DataFrameWriter's capability check looks for;
+    // V1_BATCH_WRITE is what routes the built V1Write through the
+    // InsertableRelation exec. Both are required.
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, info)
+}
+
+/** The write half: `df.write.format("graft").save(encodeDir)` runs the
+  * FULL production encode pipeline (bounds sampling, url-range pid
+  * assignment, codec selection, chunk+manifest commit, attempt lineage)
+  * behind the standard DSv2 writer API, via the [[V1Write]] bridge —
+  * the same delegation Spark's own JDBC v2 connector uses. Deliberate:
+  * a second, native `BatchWrite` implementation of the encode would be
+  * a drift-prone twin of `EncodeJob` with FEWER guarantees (no bounds
+  * pinning, no resume, no orphan reconcile); one write pipeline, two
+  * front doors.
+  *
+  * Mode semantics follow the engine's contract, not append-merge:
+  *  - `overwrite` — truncate and re-encode from scratch.
+  *  - `append` — a RESUMABLE re-run of the same job: pids already
+  *    committed in the manifest are skipped (the north-rule
+  *    crash-resume behavior; re-issuing the write after an interrupt
+  *    finishes the table instead of duplicating it). Incremental
+  *    ingest of NEW data is the streaming front end's job
+  *    ([[graft.streaming.StreamingEncode]]), which carries the
+  *    exactly-once batch lineage a blind append cannot.
+  *
+  * Options: `partitions` pins the pid count; otherwise it is sized by
+  * the 128 MiB-raw/pid rule from Catalyst's plan-size estimate (no
+  * extra job; estimates above 1 TiB fall back to the cores floor —
+  * pass `partitions` explicitly at that scale). */
+final class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new GraftInsertableRelation(path, overwrite, info.options())
+  }
+}
+
+final class GraftInsertableRelation(path: String, truncate: Boolean,
+                                    options: CaseInsensitiveStringMap)
+    extends InsertableRelation {
+  override def insert(data: org.apache.spark.sql.DataFrame, overwriteArg: Boolean): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    val spark = data.sparkSession
+    if (truncate || overwriteArg) TableIO.deleteRecursive(spark, path)
+    val pages = data.select(F.col("url"), F.col("warc_ts"), F.col("html"),
+        F.col("text"), F.col("lang"))
+      .as[graft.model.Page](org.apache.spark.sql.Encoders.product[graft.model.Page])
+    val parts = Option(options.get("partitions")).map(_.toInt).getOrElse {
+      val est = data.queryExecution.optimizedPlan.stats.sizeInBytes
+      val raw = if (est < BigInt(1L << 40)) est.toLong * 3 else 0L
+      graft.jobs.EncodeJob.suggestPartitions(raw, spark.sparkContext.defaultParallelism)
+    }
+    graft.jobs.EncodeJob.run(spark, pages, path,
+      graft.jobs.EncodeJob.Config(numPartitions = parts,
+        codecMode = Option(options.get("codecMode")).getOrElse("auto")))
+  }
 }
 
 /** Accumulates the two pushdowns. Multiple bounds on `url` are ALL kept

@@ -111,6 +111,12 @@ object TableIO {
   def delete(spark: SparkSession, path: String): Unit =
     fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), false)
 
+  /** Recursive delete — the TRUNCATE semantics of an overwrite-mode
+    * write. Only the DSv2 write path calls this, on the encode dir the
+    * caller explicitly asked to overwrite. */
+  def deleteRecursive(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+
   def mkdirs(spark: SparkSession, path: String): Unit =
     fs(spark, path).mkdirs(new org.apache.hadoop.fs.Path(path))
 

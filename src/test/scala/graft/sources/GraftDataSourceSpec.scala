@@ -145,6 +145,35 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == want.toSeq && got.length == 1)
   }
 
+  test("write path: save runs the full encode pipeline; append resumes; overwrite truncates") {
+    import spark.implicits._
+    val out = tmpDir("graft-dsv2-write")
+    graft.ScalingLevel.rmrf(out)
+    val source = WebtextGen.pages(spark, 600L, seed = 21L, partitions = 4).toDF()
+
+    source.write.format("graft").option("partitions", "4").mode("append").save(out)
+    // the write produced the REAL engine layout: chunks + manifest, and
+    // the DSv2 read and DecodeJob both see exactly the source rows
+    val back = spark.read.format("graft").load(out)
+    assert(back.count() == 600L)
+    assert(back.exceptAll(source).count() == 0L && source.exceptAll(back).count() == 0L)
+    val pids = spark.read.parquet(s"$out/manifest").select($"pid").distinct().count()
+    assert(pids == 4L, s"partitions option not honored: $pids pids")
+
+    // append again = RESUMABLE re-run of the same job: all pids already
+    // committed are skipped, nothing duplicates
+    source.write.format("graft").option("partitions", "4").mode("append").save(out)
+    assert(spark.read.format("graft").load(out).count() == 600L,
+      "re-issued append duplicated rows instead of resuming")
+
+    // overwrite truncates and re-encodes the new input
+    val smaller = WebtextGen.pages(spark, 200L, seed = 22L, partitions = 2).toDF()
+    smaller.write.format("graft").option("partitions", "2").mode("overwrite").save(out)
+    val after = spark.read.format("graft").load(out)
+    assert(after.count() == 200L)
+    assert(after.exceptAll(smaller).count() == 0L && smaller.exceptAll(after).count() == 0L)
+  }
+
   test("empty projection (count star) and empty table read") {
     // count(*): Spark prunes to a zero-width schema — the reader must
     // still emit one row per decoded row
