@@ -627,12 +627,14 @@ object Queries {
     * DESC tiebreak) plus the per-user event count — the CDC
     * keep-latest-snapshot shape (for the engine's corpus: keep the most
     * recent crawl of each url). ONE map-side-combined shuffle bounded by
-    * #keys: max over the lexicographic (us, event_id, payload) struct is
-    * an associative partial-aggregable max — unlike the row_number-window
-    * spelling (the oracle's, oracle-scale only), which shuffles and sorts
-    * the FULL event log with no partial aggregation. event_id is unique,
-    * so the struct comparison never reaches the payload field and the
-    * winner is total-order deterministic. */
+    * #keys: max over the lexicographic (us, event_id, event_type) struct
+    * is an associative partial-aggregable max — unlike the
+    * row_number-window spelling (the oracle's, oracle-scale only), which
+    * shuffles and sorts the FULL event log with no partial aggregation.
+    * event_id is unique, so the comparison never reaches event_type and
+    * the winner is total-order deterministic. (Only event_type rides
+    * along as the kept payload here; a production compaction would carry
+    * the full row's columns in the same trailing struct slots.) */
   def qLatestEvent(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select($"user_id",
@@ -700,9 +702,10 @@ object Queries {
     * final top-k is TakeOrdered under the total order (score_e6 DESC, x,
     * y) — no global sort. */
   def qBigramPmi(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split($"text", " "), c => length(c) > 0)
+    // the ONE shared tokenization (TokensExpr / oracle TokensSql) — an
+    // inline copy here would silently diverge if the pair is retuned
     val ts0 = t(spark, dir, "documents")
-      .select(toks.as("ts")).filter(size($"ts") > 0)
+      .select(expr(TokensExpr).as("ts")).filter(size($"ts") > 0)
     // one generator pass: every token as (x, NULL), every adjacent pair
     // as (x, y). slice(ts, 1, size-1) is empty for 1-token docs (length
     // 0 slice), so no bogus pairs; transform's index i is 0-based and
