@@ -66,6 +66,8 @@ object SparkEntry {
     "q_pivot_events" -> (qPivotEvents(_, _)),
     "q_unpivot_events" -> (qUnpivotEvents(_, _)),
     "q_bigram_pmi" -> (qBigramPmi(_, _)),
+    "q_gapfill_rate" -> (qGapfillRate(_, _)),
+    "q_salted_join" -> (qSaltedJoin(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
     "q_vocab_topk" -> (qVocabTopk(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -721,6 +723,28 @@ s AS (
     // unpivot∘pivot round-trip identity on the Spark side
     "q_unpivot_events" ->
       "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    // dense grid incl. zero rows; integer hour-bucket arithmetic on both
+    // engines (epoch_us // h == unix_micros div h under the pinned UTC
+    // session zone)
+    "q_gapfill_rate" ->
+      """WITH e AS (SELECT epoch_us(ts)//3600000000 AS bk, event_type FROM events),
+        |b AS (SELECT min(bk) AS lo, max(bk) AS hi FROM e),
+        |grid AS (
+        |  SELECT g.bk, t.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS bk) g
+        |  CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t),
+        |c AS (SELECT bk, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT grid.bk, grid.event_type, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+        |FROM grid LEFT JOIN c USING (bk, event_type)""".stripMargin,
+    // oracle is the UNSALTED join/aggregate: a hash match proves the
+    // salt-replicated dimension join matched every row exactly once
+    "q_salted_join" ->
+      """SELECT d.source, count(*) AS n, max(s.src_docs) AS src_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS chars
+        |FROM documents d
+        |JOIN (SELECT source, count(*) AS src_docs FROM documents GROUP BY 1) s
+        |  ON d.source = s.source
+        |GROUP BY 1""".stripMargin,
     // exact integer PMI ordering: score_e6 = c_xy*N*1e6 // (c_x*c_y) in
     // HUGEINT (the Spark side uses decimal(38,0) + div) — both floor
     // exactly, no float log in the comparison; N is summed BEFORE the

@@ -682,6 +682,56 @@ object Queries {
         "event_type", "n")
       .filter($"n" > 0)
 
+  /** Time-series densification (gap filling): per-hour event counts per
+    * type INCLUDING empty buckets — the dense grid a rate monitor or
+    * training-telemetry dashboard needs (a plain groupBy silently omits
+    * quiet hours). Shape: the bucket bounds are a 1-row aggregate; the
+    * dense (bucket x type) grid explodes from that single row and is
+    * bounded by the TIME RANGE, never the corpus (10 years of hours x a
+    * closed type vocabulary ~ 4e5 rows); the counts side is one
+    * map-side-combined shuffle; the final left join touches only those
+    * two bounded tables (AQE broadcasts the grid at any realistic
+    * range). Integer bucket arithmetic on both engines — no date-type
+    * round-trip. */
+  def qGapfillRate(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val e = t(spark, dir, "events")
+      .select(expr(s"unix_micros(cast(ts as timestamp)) div ${hourUs}L").as("bk"),
+        $"event_type")
+    val counts = e.groupBy($"bk", $"event_type").agg(count(lit(1)).as("n"))
+    val grid = e.agg(min($"bk").as("lo"), max($"bk").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("bk"))
+      .crossJoin(
+        spark.createDataFrame(EventTypes.map(Tuple1(_)))
+          .toDF("event_type"))
+    grid.join(counts, Seq("bk", "event_type"), "left")
+      .select($"bk", $"event_type", coalesce($"n", lit(0L)).as("n"))
+  }
+
+  /** Explicitly SALTED skew join, the companion of [[qSaltedAgg]]: the
+    * fact side's hot source keys are split across 8 salts (row-local
+    * pmod over the unique doc_id) and the bounded dimension side is
+    * replicated once per salt (explode of a literal 0..7 sequence), so
+    * the join key (source, salt) spreads a dominant source over 8 tasks
+    * instead of one straggler. The oracle is the UNSALTED spelling — the
+    * hash compare proves every fact row matched its dimension row
+    * exactly once through the salt split. (AQE's skew-join handles the
+    * sort-merge case at runtime; explicit salting remains the tool when
+    * the skewed side feeds a hash aggregate or the optimizer cannot see
+    * the skew.) */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val docs = t(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars", pmod($"doc_id", lit(salts.toLong)).as("salt"))
+    val dim = t(spark, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("src_docs"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    docs.join(dim, Seq("source", "salt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), max($"src_docs").as("src_docs"),
+        sum($"n_chars").as("chars"))
+  }
+
   /** Collocation mining: top-20 bigrams by PMI over the corpus token
     * stream (phrase discovery for tokenizer/vocab curation). Shape: the
     * unigram and bigram streams are emitted row-locally from ONE corpus

@@ -194,6 +194,26 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       ("x", "y", 4L, 3000000L),
       ("y", "x", 3L, 2250000L)),
       s"bigram PMI mismatch: $pmi")
+
+    // gap-fill: events span d0h0..d3h0 = 73 hourly buckets x 5 types;
+    // the grid must include EVERY quiet bucket as an explicit zero row
+    val rate = Queries.qGapfillRate(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rate.size == 73 * 5, s"grid size ${rate.size}, want ${73 * 5}")
+    assert(rate.map(_._3).sum == 9L, "dense grid lost or duplicated events")
+    val h0 = rate.filter(_._1 == rate.map(_._1).min).map(r => r._2 -> r._3).toMap
+    assert(h0 == Map("click" -> 1L, "error" -> 0L, "purchase" -> 0L,
+      "signup" -> 1L, "view" -> 1L), s"first-hour counts wrong: $h0")
+    // nonzero cells: d0(signup,click,view) d1(purchase,click)
+    // d2(signup x2 -> one cell, click) d3(view) = 8
+    assert(rate.count(_._3 == 0L) == 73 * 5 - 8,
+      "zero-fill count wrong (9 events land in 8 nonzero (bucket, type) cells)")
+
+    // salted join: 3 docs of one source through the 8-way salt split —
+    // every fact row must match its replicated dimension row EXACTLY once
+    val sj = Queries.qSaltedJoin(spark, ddir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(sj == Seq(("s", 3L, 3L, 27L)), s"salted join mismatch: $sj")
   }
 
   test("norm dedup, filter funnel, and shuffle shards on hand-computed fixtures") {
