@@ -68,6 +68,7 @@ object SparkEntry {
     "q_bigram_pmi" -> (qBigramPmi(_, _)),
     "q_gapfill_rate" -> (qGapfillRate(_, _)),
     "q_salted_join" -> (qSaltedJoin(_, _)),
+    "q_sketch_bounds" -> (qSketchBounds(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
     "q_vocab_topk" -> (qVocabTopk(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -736,6 +737,12 @@ s AS (
         |c AS (SELECT bk, event_type, count(*) AS n FROM e GROUP BY 1, 2)
         |SELECT grid.bk, grid.event_type, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
         |FROM grid LEFT JOIN c USING (bk, event_type)""".stripMargin,
+    // the sketch flags are pinned to 1: the hash compare asserts HLL and
+    // the quantile sketch landed within their advertised error bounds
+    "q_sketch_bounds" ->
+      """SELECT source, count(DISTINCT n_chars) AS exact_ndv,
+        |       CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS pctl_ok
+        |FROM documents GROUP BY 1""".stripMargin,
     // oracle is the UNSALTED join/aggregate: a hash match proves the
     // salt-replicated dimension join matched every row exactly once
     "q_salted_join" ->

@@ -732,6 +732,32 @@ object Queries {
         sum($"n_chars").as("chars"))
   }
 
+  /** Sketch surface with oracle-pinned error bounds: per source, the
+    * exact NDV plus an HLL++ estimate (`approx_count_distinct`,
+    * rsd 0.02) and a GK quantile-sketch median (`approx_percentile`,
+    * accuracy 10000), each reduced to a bounds flag the DuckDB oracle
+    * pins to 1 — the hash compare ASSERTS the sketches landed within
+    * their advertised error (HLL within 5% of exact; sketch median
+    * within 5% + 1 of the exact interpolated median). Both sketches are
+    * deterministic for a fixed input, and both aggregate with partial
+    * merge (bounded sketch state per task — O(1) per group, the whole
+    * point of sketches at 100 TB where exact countDistinct's double
+    * aggregation must shuffle every distinct value). */
+  def qSketchBounds(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        countDistinct($"n_chars").as("exact_ndv"),
+        approx_count_distinct($"n_chars", 0.02).as("hll_ndv"),
+        expr("percentile(n_chars, 0.5d)").as("p50"),
+        expr("approx_percentile(n_chars, 0.5d, 10000)").as("ap50"))
+      .select(
+        $"source", $"exact_ndv",
+        (abs($"hll_ndv" - $"exact_ndv") <= $"exact_ndv" * 0.05 + 1.0)
+          .cast("bigint").as("hll_ok"),
+        (abs($"ap50" - $"p50") <= $"p50" * 0.05 + 1.0)
+          .cast("bigint").as("pctl_ok"))
+
   /** Collocation mining: top-20 bigrams by PMI over the corpus token
     * stream (phrase discovery for tokenizer/vocab curation). Shape: the
     * unigram and bigram streams are emitted row-locally from ONE corpus
