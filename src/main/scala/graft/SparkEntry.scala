@@ -69,6 +69,7 @@ object SparkEntry {
     "q_gapfill_rate" -> (qGapfillRate(_, _)),
     "q_salted_join" -> (qSaltedJoin(_, _)),
     "q_sketch_bounds" -> (qSketchBounds(_, _)),
+    "q_snapshot_diff" -> (qSnapshotDiff(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
     "q_vocab_topk" -> (qVocabTopk(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -737,6 +738,21 @@ s AS (
         |c AS (SELECT bk, event_type, count(*) AS n FROM e GROUP BY 1, 2)
         |SELECT grid.bk, grid.event_type, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
         |FROM grid LEFT JOIN c USING (bk, event_type)""".stripMargin,
+    // same simulated snapshots (drop %3 / drop %5 + edit %7), same md5
+    // classification; FULL JOIN USING coalesces the key on both engines
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 3 <> 0),
+        |neu AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN 'v2:' || text ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT doc_id,
+        |       CASE WHEN h_old IS NULL THEN 'added'
+        |            WHEN h_new IS NULL THEN 'removed'
+        |            WHEN h_old <> h_new THEN 'changed'
+        |            ELSE 'same' END AS status
+        |FROM old FULL JOIN neu USING (doc_id)""".stripMargin,
     // the sketch flags are pinned to 1: the hash compare asserts HLL and
     // the quantile sketch landed within their advertised error bounds
     "q_sketch_bounds" ->

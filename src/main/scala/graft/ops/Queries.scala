@@ -732,6 +732,31 @@ object Queries {
         sum($"n_chars").as("chars"))
   }
 
+  /** Snapshot diff (CDC classification): two simulated crawl snapshots
+    * of the corpus — "old" drops every 3rd doc, "new" drops every 5th
+    * and edits every 7th — full-outer joined on the key and classified
+    * added / removed / changed / same by content hash. The
+    * crawl-to-crawl diff every recrawl pipeline runs before deciding
+    * what to re-encode. Shape: ONE full-outer hash join on the unique
+    * key (both sides shuffle-partition on doc_id — no broadcast of an
+    * unbounded snapshot), content compared by md5 so the join carries
+    * 16-byte digests, never the documents themselves. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val old = d.filter($"doc_id" % 3 =!= 0)
+      .select($"doc_id", md5($"text".cast("binary")).as("h_old"))
+    val neu = d.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id",
+        md5(when($"doc_id" % 7 === 0, concat(lit("v2:"), $"text"))
+          .otherwise($"text").cast("binary")).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"h_old".isNull, "added")
+          .when($"h_new".isNull, "removed")
+          .when($"h_old" =!= $"h_new", "changed")
+          .otherwise("same").as("status"))
+  }
+
   /** Sketch surface with oracle-pinned error bounds: per source, the
     * exact NDV plus an HLL++ estimate (`approx_count_distinct`,
     * rsd 0.02) and a GK quantile-sketch median (`approx_percentile`,

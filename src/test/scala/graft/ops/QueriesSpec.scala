@@ -214,6 +214,18 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     val sj = Queries.qSaltedJoin(spark, ddir)
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(sj == Seq(("s", 3L, 3L, 27L)), s"salted join mismatch: $sj")
+
+    // snapshot diff: ids chosen to hit every branch — 1 same, 3 added
+    // (old drops %3), 5 removed (new drops %5), 7 changed (new edits
+    // %7), 15 in NEITHER snapshot (dropped by both) -> no row at all
+    val sdir = tmpDir("graft-queries-snap")
+    Seq(1L, 3L, 5L, 7L, 15L).map(i => (i, s"text $i", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$sdir/documents.parquet")
+    val diff = Queries.qSnapshotDiff(spark, sdir)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(diff == Seq((1L, "same"), (3L, "added"), (5L, "removed"),
+      (7L, "changed")), s"snapshot diff mismatch: $diff")
   }
 
   test("norm dedup, filter funnel, and shuffle shards on hand-computed fixtures") {
