@@ -51,6 +51,25 @@ object DecodeJob {
         s"!= recorded $recorded (corrupt block?)")
   }
 
+  /** Exact row-level url-range keep filter over a decoded url view, in
+    * UTF-8 BYTE order on the raw payload — the same total order the
+    * encoder sorted by, the chunk-level (urlMin, urlMax) prune uses,
+    * and Spark's own UTF8String comparison defines (Java String order,
+    * UTF-16 code units, disagrees for supplementary characters vs
+    * U+E000..U+FFFF). ONE definition of the range semantics, shared by
+    * [[runProjected]] (a single bound pair) and the DSv2 reader
+    * ([[graft.sources.GraftDataSource]], bound lists). */
+  private[graft] def urlRangeKeep(v: ColumnCodec.BytesView,
+      loB: Array[Array[Byte]], hiB: Array[Array[Byte]]): Int => Boolean =
+    j => !v.isNull(j) && {
+      val s = v.start(j)
+      val e = s + v.len(j)
+      loB.forall(lo =>
+        java.util.Arrays.compareUnsigned(v.payload, s, e, lo, 0, lo.length) >= 0) &&
+        hiB.forall(hi =>
+          java.util.Arrays.compareUnsigned(v.payload, s, e, hi, 0, hi.length) <= 0)
+    }
+
   def run(spark: SparkSession, outDir: String): Dataset[Page] = {
     import spark.implicits._
     chunkScan(spark, outDir).as[EncodedChunk]
@@ -119,20 +138,10 @@ object DecodeJob {
         }.toMap
         val keep: Int => Boolean = range match {
           case Some((lo, hi)) =>
-            // compare in UTF-8 byte order — the SAME ordering the encoder
-            // sorted by and the chunk-level (urlMin, urlMax) filter uses;
-            // Java String order (UTF-16 code units) disagrees with UTF-8
-            // for supplementary characters vs U+E000..U+FFFF. The view
-            // compares payload ranges in place — no String round-trip.
-            val loB = lo.getBytes(UTF_8)
-            val hiB = hi.getBytes(UTF_8)
-            val v = urlView
-            j => !v.isNull(j) && {
-              val s = v.start(j)
-              val e = s + v.len(j)
-              java.util.Arrays.compareUnsigned(v.payload, s, e, loB, 0, loB.length) >= 0 &&
-                java.util.Arrays.compareUnsigned(v.payload, s, e, hiB, 0, hiB.length) <= 0
-            }
+            // shared UTF-8 byte-order semantics — see [[urlRangeKeep]];
+            // the view compares payload ranges in place, no String
+            // round-trip
+            urlRangeKeep(urlView, Array(lo.getBytes(UTF_8)), Array(hi.getBytes(UTF_8)))
           case None => _ => true
         }
         // hoist the per-column getters out of the row loop: a Map lookup

@@ -75,9 +75,13 @@ final class GraftDataSource extends TableProvider
 }
 
 object GraftDataSource {
-  /** The decoded Page schema, exactly the input_hint shape. All fields
-    * nullable: the encoder admits null warc_ts/html (and the codecs
-    * carry null bitmaps for every column). */
+  /** The decoded Page schema, exactly the input_hint shape. Declared
+    * fully nullable on the READ side (the codec blocks carry null
+    * bitmaps, so a tolerant reader costs nothing). The WRITE contract
+    * is stricter and enforced by the writer: only `warc_ts` may be
+    * null — the encode kernel requires url/text/lang/html (a null
+    * there would otherwise surface as an opaque executor NPE deep in
+    * EncodeJob). */
   val PageSchema: StructType = StructType(Seq(
     StructField("url", StringType),
     StructField("warc_ts", TimestampType),
@@ -114,13 +118,21 @@ final class GraftTable(path: String) extends Table with SupportsRead with Suppor
   *
   * Mode semantics follow the engine's contract, not append-merge:
   *  - `overwrite` — truncate and re-encode from scratch.
-  *  - `append` — a RESUMABLE re-run of the same job: pids already
-  *    committed in the manifest are skipped (the north-rule
-  *    crash-resume behavior; re-issuing the write after an interrupt
-  *    finishes the table instead of duplicating it). Incremental
-  *    ingest of NEW data is the streaming front end's job
-  *    ([[graft.streaming.StreamingEncode]]), which carries the
-  *    exactly-once batch lineage a blind append cannot.
+  *  - `append` on a FRESH directory — a plain encode.
+  *  - `append` on an EXISTING table — refused unless
+  *    `option("resume", "true")` is set, because the engine's append
+  *    is the north-rule crash-resume: pids already committed in the
+  *    manifest are SKIPPED, which completes an interrupted write of
+  *    the SAME data but silently drops genuinely new rows. The
+  *    explicit option turns that silent-loss foot-gun into a stated
+  *    choice; incremental ingest of NEW data is the streaming front
+  *    end's job ([[graft.streaming.StreamingEncode]]), which carries
+  *    the exactly-once batch lineage a blind append cannot.
+  *
+  * The writer also enforces the Page contract up front: url / text /
+  * lang / html must be non-null (a codegen'd per-row guard raises a
+  * named error instead of the executor NPE EncodeJob would throw);
+  * only warc_ts is nullable.
   *
   * Options: `partitions` pins the pid count; otherwise it is sized by
   * the 128 MiB-raw/pid rule from Catalyst's plan-size estimate (no
@@ -142,9 +154,26 @@ final class GraftInsertableRelation(path: String, truncate: Boolean,
   override def insert(data: org.apache.spark.sql.DataFrame, overwriteArg: Boolean): Unit = {
     import org.apache.spark.sql.{functions => F}
     val spark = data.sparkSession
-    if (truncate || overwriteArg) TableIO.deleteRecursive(spark, path)
-    val pages = data.select(F.col("url"), F.col("warc_ts"), F.col("html"),
-        F.col("text"), F.col("lang"))
+    val doOverwrite = truncate || overwriteArg
+    if (doOverwrite) TableIO.deleteRecursive(spark, path)
+    else if (TableIO.exists(spark, s"$path/manifest") &&
+        !Option(options.get("resume")).exists(_.toBoolean))
+      throw new IllegalArgumentException(
+        s"graft write: table at $path already has committed partitions, and the " +
+          "engine's append is a crash-RESUME (manifest-committed pids are skipped, " +
+          "so appending genuinely new rows would silently drop them). Re-issue the " +
+          "interrupted write of the SAME data with .option(\"resume\", \"true\"), " +
+          "use mode(\"overwrite\") to replace the table, or use " +
+          "graft.streaming.StreamingEncode for incremental ingest of new data.")
+    // fail per-row with a NAMED error on the non-null contract — the
+    // alternative is an opaque NullPointerException inside the encode
+    // kernel's executor task
+    def required(c: String) =
+      F.when(F.col(c).isNull, F.raise_error(F.lit(
+        s"graft write: column '$c' must be non-null (only warc_ts is nullable)")))
+        .otherwise(F.col(c)).as(c)
+    val pages = data.select(required("url"), F.col("warc_ts"), required("html"),
+        required("text"), required("lang"))
       .as[graft.model.Page](org.apache.spark.sql.Encoders.product[graft.model.Page])
     val parts = Option(options.get("partitions")).map(_.toInt).getOrElse {
       val est = data.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -206,6 +235,15 @@ final class GraftScan(path: String, required: StructType,
 
   private lazy val partitions: Array[GraftInputPartition] = {
     val spark = SparkSession.active
+    // the listing below assumes the parquet chunk layout; under another
+    // configured table format (e.g. iceberg: data/ + metadata/ subdirs)
+    // it would see no plain files and silently return an EMPTY relation
+    // for a populated table — fail loudly instead
+    val fmt = TableIO.format(spark)
+    require(fmt == "parquet",
+      s"graft DSv2 read supports the parquet chunk layout; " +
+        s"spark.graft.table.format=$fmt is configured — read this table " +
+        "through DecodeJob/TableIO instead")
     val hconf = spark.sessionState.newHadoopConf()
     val root = new HPath(path)
     val fs = root.getFileSystem(hconf)
@@ -228,10 +266,18 @@ final class GraftScan(path: String, required: StructType,
     partitions.toArray[InputPartition]
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // compressed on-disk bytes: a conservative lower bound on decoded
-    // size, and exactly what lets AQE broadcast a small encoded table
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(partitions.map(_.length).sum)
+    // raw compressed bytes UNDERSTATE the decoded relation ~4x (the
+    // measured corpus ratio), and an underestimate is the unsafe
+    // direction for broadcast decisions — a 9 MB-on-disk table that
+    // decodes to 90 MB must not slip under the autoBroadcast
+    // threshold. Scale by the ratio ceiling (same idea as Spark's
+    // fileCompressionFactor); conf-overridable per deployment.
+    override def sizeInBytes(): OptionalLong = {
+      val factor = SparkSession.active.conf
+        .getOption("spark.graft.read.sizeFactor")
+        .flatMap(_.toDoubleOption).getOrElse(4.0)
+      OptionalLong.of((partitions.map(_.length).sum * factor).toLong)
+    }
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
@@ -273,8 +319,33 @@ final class GraftPartitionReader(file: String, conf: Configuration,
   private val blockCols: Array[String] =
     if (hasBounds && !columns.contains("url")) columns :+ "url" else columns
 
-  private val reader =
-    ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
+  // row-group STATISTICS filter on the chunk metadata columns: a row
+  // group whose (urlMin, urlMax) stats cannot intersect the pushed
+  // bounds is skipped before any of its column chunks are READ. A
+  // group's stats span the UNION of the chunk rows it holds (pid-hash
+  // file assignment mixes url ranges within a file), so this prunes at
+  // row-group granularity; the per-chunk-row prune in decodeChunkRow
+  // then skips the decode of individual non-matching chunks the
+  // surviving group still carries.
+  private val rowGroupFilter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] =
+    if (loB.isEmpty && hiB.isEmpty) None
+    else {
+      import org.apache.parquet.filter2.predicate.FilterApi
+      import org.apache.parquet.io.api.Binary
+      val preds: Seq[org.apache.parquet.filter2.predicate.FilterPredicate] =
+        loB.toSeq.map(lo => FilterApi.gtEq(FilterApi.binaryColumn("urlMax"),
+          Binary.fromConstantByteArray(lo))) ++
+          hiB.toSeq.map(hi => FilterApi.ltEq(FilterApi.binaryColumn("urlMin"),
+            Binary.fromConstantByteArray(hi)))
+      Some(org.apache.parquet.filter2.compat.FilterCompat.get(
+        preds.reduce(FilterApi.and(_, _))))
+    }
+
+  private val reader = {
+    val b = org.apache.parquet.HadoopReadOptions.builder(conf, new HPath(file))
+    rowGroupFilter.foreach(b.withRecordFilter)
+    ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf), b.build())
+  }
 
   // anything that throws between open() and a successfully constructed
   // reader (schema lookup on a pre-columnar-layout file, say) must not
@@ -384,19 +455,11 @@ final class GraftPartitionReader(file: String, conf: Configuration,
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
     if (hasBounds && urlView == null) bytesView("url")
+    // shared UTF-8 byte-order range semantics — one definition with
+    // DecodeJob.runProjected (see DecodeJob.urlRangeKeep)
     val keep: Int => Boolean =
       if (!hasBounds) _ => true
-      else {
-        val v = urlView
-        j => !v.isNull(j) && {
-          val s = v.start(j)
-          val e = s + v.len(j)
-          loB.forall(lo =>
-            java.util.Arrays.compareUnsigned(v.payload, s, e, lo, 0, lo.length) >= 0) &&
-            hiB.forall(hi =>
-              java.util.Arrays.compareUnsigned(v.payload, s, e, hi, 0, hi.length) <= 0)
-        }
-      }
+      else graft.jobs.DecodeJob.urlRangeKeep(urlView, loB, hiB)
     Iterator.range(0, n).filter(keep).map { j =>
       val vals = new Array[Any](getters.length)
       var c = 0
