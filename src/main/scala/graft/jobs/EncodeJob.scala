@@ -233,6 +233,10 @@ object EncodeJob {
           var n = 0L
           while (it.hasNext) {
             val u = it.next()
+            // the bounds sampler is the FIRST code to touch urls — fail
+            // named here, not as an anonymous NPE in the driver sort
+            if (u == null) throw new IllegalArgumentException(
+              "graft encode: null url — urls are the range key and must be non-null")
             if (n < k) res(n.toInt) = u
             else {
               val j = (rnd.nextDouble() * (n + 1)).toLong
@@ -273,7 +277,14 @@ object EncodeJob {
       val weighted = perPart.filter(_._2.nonEmpty).flatMap { case (cnt, arr) =>
         val w = cnt.toDouble / arr.length
         arr.map(u => (u, w))
-      }.sortBy(_._1)(Utf8Ordering)
+      }
+        // encode each url ONCE and sort byte arrays: Utf8Ordering's
+        // comparator re-encodes BOTH strings per comparison, which at
+        // the 100 TB sample count (~millions of urls) is ~2·n·log n
+        // transient encodings in the single-threaded driver section
+        .map { case (u, w) => (u.getBytes(UTF_8), u, w) }
+        .sortWith((a, b) => java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+        .map { case (_, u, w) => (u, w) }
       // can't cut finer than the sample supports: with fewer samples than
       // requested partitions (an unsplittable giant file, sample caps),
       // derive as many equi-weight pids as the samples allow instead of
@@ -311,19 +322,13 @@ object EncodeJob {
       // a resume after a crash with different file splits would otherwise
       // assign pids inconsistent with the completed-pid set.
       if ((cfg.resume || sampledRows >= cfg.boundsPinMinRows) && bounds.nonEmpty)
+        // the ONE hand-emitted-JSON escaper (named escapes instead of the
+        // old private \uXXXX variant — parseJsonStringArray accepts both)
         TableIO.writeTextFile(spark, boundsPath(outDir),
-          bounds.map(jsonQuote).mkString("[", ",", "]"))
+          bounds.map(graft.JsonEscape.quote).mkString("[", ",", "]"))
       bounds
     }
   }
-
-  private def jsonQuote(s: String): String =
-    "\"" + s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    } + "\""
 
   private def parseJsonStringArray(txt: String): Array[String] = {
     // bounds are urls we wrote ourselves (jsonQuote: \uXXXX-escaped
@@ -333,15 +338,28 @@ object EncodeJob {
     // must parse to the same strings, never to silently corrupted bounds
     // that shift pid assignment against the completed-pid manifest
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // truncation (a partial object-store copy) must fail with the SAME
+    // explicit refusal as an unknown escape, not an anonymous
+    // StringIndexOutOfBounds from walking past the buffer
+    def truncated(): Nothing = throw new IllegalArgumentException(
+      "truncated bounds json — refusing to guess at pid bounds")
+    // a cut BETWEEN strings would otherwise parse silently to a PREFIX
+    // of the bounds (the scanner just collects quoted strings) — wrong
+    // geometry with no error; the closing bracket proves completeness
+    val trimmed = txt.trim
+    if (!(trimmed.startsWith("[") && trimmed.endsWith("]"))) truncated()
     var i = 0
     while (i < txt.length) {
       if (txt(i) == '"') {
         val sb = new StringBuilder
         i += 1
-        while (txt(i) != '"') {
+        while ({ if (i >= txt.length) truncated(); txt(i) != '"' }) {
           if (txt(i) == '\\') {
+            if (i + 1 >= txt.length) truncated()
             txt(i + 1) match {
-              case 'u'  => sb.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar); i += 6
+              case 'u'  =>
+                if (i + 6 > txt.length) truncated()
+                sb.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar); i += 6
               case '"'  => sb.append('"'); i += 2
               case '\\' => sb.append('\\'); i += 2
               case '/'  => sb.append('/'); i += 2
@@ -369,6 +387,33 @@ object EncodeJob {
     import spark.implicits._
     val t0 = System.nanoTime()
 
+    // Resume correctness hinges on the bounds GEOMETRY that numbered the
+    // completed pids still being the one in force. If committed data
+    // exists but bounds.json is gone (lost rename on an object store, or
+    // a batch resume pointed at a streaming table whose tiny pre-pin
+    // batches never froze bounds), re-deriving bounds would renumber the
+    // url ranges and the completed-pid filter would skip DIFFERENT rows
+    // than were encoded — silent data loss. Refuse up front, BEFORE
+    // loadOrComputeBounds could derive-and-pin a fresh geometry.
+    // (numPartitions == 1 is exempt: its geometry is trivially stable —
+    // everything is pid 0 under any derivation — and it never pins, so
+    // the guard would otherwise break its legitimate idempotent re-run.
+    // The chunk-table emptiness probe is a tiny job, but it only runs on
+    // this ABNORMAL path — bounds missing with a chunks dir present,
+    // e.g. after an empty first run that committed nothing; the normal
+    // resume never reaches it.)
+    if (cfg.resume && cfg.numPartitions > 1 &&
+        !TableIO.exists(spark, boundsPath(outDir)) &&
+        (TableIO.exists(spark, manifestDir(outDir)) ||
+          (TableIO.exists(spark, chunksDir(outDir)) &&
+            !chunkMetaScan(spark, outDir).isEmpty)))
+      throw new IllegalStateException(
+        s"graft encode: $outDir has committed chunks/manifest but no bounds.json — " +
+          "the pid geometry that numbered the completed partitions is unrecoverable, " +
+          "and resuming under re-derived bounds would silently skip the wrong rows. " +
+          "Restore bounds.json, re-encode from scratch (delete the table), or run " +
+          "with resume=false into a fresh directory.")
+
     val bounds = loadOrComputeBounds(spark, input, outDir, cfg)
     val tBounds = System.nanoTime()
 
@@ -389,7 +434,13 @@ object EncodeJob {
     // a typed .map here would materialize every html/text payload as JVM
     // objects on the map side just to re-serialize them for the shuffle
     val boundsBytesBc = spark.sparkContext.broadcast(bounds.map(_.getBytes(UTF_8)))
-    val assignPid = udf((url: String) => pidOfBytes(boundsBytesBc.value, url.getBytes(UTF_8)))
+    val assignPid = udf { (url: String) =>
+      // named failure at the FIRST touch of the key: url has no null
+      // representation (range/sort key); html/text/lang nulls are
+      // legitimate null rows handled by the codec bitmaps
+      require(url != null, "graft encode: null url — urls are the range key and must be non-null")
+      pidOfBytes(boundsBytesBc.value, url.getBytes(UTF_8))
+    }
     val isPending = udf((pid: Int) => !completedBc.value.contains(pid) && pid < pidCap)
     val withPid = input.toDF()
       .withColumn("pid", assignPid($"url"))
@@ -409,11 +460,16 @@ object EncodeJob {
         s"manifestMode must be 'acc' or 'scan', got '$other'")
     }
     val summaryAcc = spark.sparkContext.collectionAccumulator[PidSummary]("graft.pidSummaries")
-    // Hash repartition on the (already range-derived) pid: pids are dense
-    // ints in [0, numPartitions], so hashing spreads them ~1 per task
-    // WITHOUT the extra sampling pass a repartitionByRange would run over
-    // the whole input. Two pids hashing to one task is fine: the kernel
-    // cuts chunks at pid boundaries, so output is identical either way.
+    // Hash repartition on the (already range-derived) pid, WITHOUT the
+    // extra sampling pass a repartitionByRange would run over the whole
+    // input. Honest balance math: hashing n dense pids into n tasks is
+    // balls-into-bins — ~1/e of tasks get NO pid and the fullest gets
+    // ~ln n/ln ln n. That is why pids should be sized by DATA (the
+    // 128 MiB/pid rule), giving several scheduler waves per core, where
+    // the imbalance amortizes; with task count == pid count == cores
+    // (one wave) the max-loaded task IS the stage wall. Multiple pids
+    // in one task is always CORRECT: the kernel cuts chunks at pid
+    // boundaries, so output is identical either way.
     // The content-hash tiebreaker makes the sort a TOTAL order even when
     // the same url appears twice (a re-crawl with different content):
     // equal-key rows would otherwise keep nondeterministic relative order
@@ -830,7 +886,14 @@ object EncodeJob {
         var cut = false
         while (!cut && pending != null && pending.pid == pid) {
           buf += pending
-          bufBytes += pending.html.length.toLong + pending.text.length + pending.url.length + 16
+          // UTF-8 byte estimate, not String.length: a CJK-heavy text is
+          // 3 bytes/char, and counting chars would let a "16 MB" chunk
+          // hold ~48 MB of payload — past the memory the block caps
+          // exist to bound. (Identical to length on ASCII, so chunk
+          // cuts — and encBytes — are unchanged for ASCII corpora.)
+          // html/text/lang may be null (encoded as null-bitmap rows).
+          bufBytes += (if (pending.html == null) 0L else pending.html.length.toLong) +
+            utf8Len(pending.text) + utf8Len(pending.url) + 16
           pending = if (it.hasNext) it.next() else null
           cut = buf.length >= maxBlockRows || bufBytes >= targetBlockBytes
         }
@@ -841,13 +904,40 @@ object EncodeJob {
     }
   }
 
+  /** Exact UTF-8 byte length without materializing the bytes (null = 0
+    * — a null-bitmap row contributes no payload). Drives the chunk byte
+    * budget in [[encodePartition]]. */
+  private def utf8Len(s: String): Long = {
+    if (s == null) return 0L
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+      else n += 3
+      i += 1
+    }
+    n
+  }
+
   def encodeChunk(pid: Int, blockIdx: Int, rows: Array[PidPage],
                   flOnly: Boolean = false, attemptId: String = null): EncodedChunk = {
     val t0 = System.nanoTime()
+    // url is the range/sort key and the chunk's (urlMin, urlMax)
+    // metadata — it has no null representation; fail NAMED, not as an
+    // anonymous NPE two lines later. html/text/lang nulls are REAL null
+    // rows: the codec layer carries them in its null bitmap and the
+    // decode views hand back null (the same contract warc_ts has).
+    require(rows.forall(_.url != null),
+      s"chunk pid=$pid blockIdx=$blockIdx: null url — urls are the range key " +
+        "and must be non-null")
     val urls = rows.map(_.url.getBytes(UTF_8))
-    val texts = rows.map(_.text.getBytes(UTF_8))
+    val texts = rows.map(r => if (r.text == null) null else r.text.getBytes(UTF_8))
     val htmls = rows.map(_.html)
-    val langsB = rows.map(_.lang.getBytes(UTF_8))
+    val langsB = rows.map(r => if (r.lang == null) null else r.lang.getBytes(UTF_8))
     val tsNulls = if (rows.exists(_.warc_ts == null)) rows.map(_.warc_ts == null) else null
     val tsMicros = rows.map { r =>
       val ts = r.warc_ts
@@ -855,8 +945,10 @@ object EncodeJob {
       else math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     }
 
+    // null texts are SKIPPED — the decode-side lineage check
+    // (DecodeJob.requireTextCrc) skips null rows the same way
     val crc = new CRC32()
-    texts.foreach(t => crc.update(t))
+    texts.foreach(t => if (t != null) crc.update(t))
 
     def asCol(name: String, e: ColumnCodec.Encoded) =
       EncodedColumn(name, e.codecName, e.bytes, e.rawBytes, e.bytes.length.toLong, e.flBaselineBytes)

@@ -105,6 +105,70 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     source.unpersist()
   }
 
+  test("null html/text/lang rows survive the round trip; null url fails NAMED") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-nullcols")
+    // deterministic sprinkling of nulls over the three nullable payload
+    // columns (the codec bitmaps + null-skipping CRC path); warc_ts
+    // nulls already covered by the dedicated case above
+    val source = WebtextGen.pages(spark, 600L, seed = 19L)
+      .map { p =>
+        val h = math.abs(p.url.hashCode)
+        var q = p
+        if (h % 3 == 0) q = q.copy(html = null)
+        if (h % 4 == 0) q = q.copy(text = null)
+        if (h % 5 == 0) q = q.copy(lang = null)
+        q
+      }.cache()
+    assert(source.filter(_.html == null).count() > 0)
+    assert(source.filter(_.text == null).count() > 0)
+    assert(source.filter(_.lang == null).count() > 0)
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 4))
+    val report = VerifyJob.run(spark, source, DecodeJob.run(spark, outDir))
+    assert(report.ok, report.toString)
+    source.unpersist()
+
+    // url is the range key: a null url must fail with the named message,
+    // not an anonymous executor NPE
+    val bad = WebtextGen.pages(spark, 50L, seed = 20L)
+      .map(p => if (p.url.endsWith("1")) p.copy(url = null) else p)
+    val err = intercept[Exception] {
+      EncodeJob.run(spark, bad, tmpDir("graft-nullurl"), EncodeJob.Config(numPartitions = 2))
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(err).exists(_.contains("null url")), chain(err).mkString(" | "))
+  }
+
+  test("resume refuses a table whose bounds geometry is unrecoverable") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-lostbounds")
+    val source = WebtextGen.pages(spark, 400L, seed = 23L).cache()
+    EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 4))
+    // simulate the lost-rename window: committed chunks+manifest, no
+    // bounds.json — a resume would renumber pids and skip the wrong rows
+    graft.sources.TableIO.delete(spark, s"$outDir/bounds.json")
+    val err = intercept[IllegalStateException] {
+      EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 4))
+    }
+    assert(err.getMessage.contains("bounds.json"), err.getMessage)
+    source.unpersist()
+
+    // truncated bounds.json (partial object-store copy) fails with the
+    // explicit refusal, not a StringIndexOutOfBounds
+    val outDir2 = tmpDir("graft-truncbounds")
+    val src2 = WebtextGen.pages(spark, 100L, seed = 24L)
+    EncodeJob.run(spark, src2, outDir2, EncodeJob.Config(numPartitions = 2))
+    val full = graft.sources.TableIO.readTextFile(spark, s"$outDir2/bounds.json")
+    graft.sources.TableIO.delete(spark, s"$outDir2/bounds.json")
+    graft.sources.TableIO.writeTextFile(spark, s"$outDir2/bounds.json",
+      full.substring(0, full.length / 2).stripSuffix("\""))
+    val err2 = intercept[IllegalArgumentException] {
+      EncodeJob.run(spark, src2, outDir2, EncodeJob.Config(numPartitions = 2))
+    }
+    assert(err2.getMessage.contains("truncated bounds json"), err2.getMessage)
+  }
+
   test("decode fails fast when a chunk's recorded text CRC does not match") {
     import spark.implicits._
     val outDir = tmpDir("graft-crc")
