@@ -26,7 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.codec.ColumnCodec
 
-/** DataSource V2 read surface for the engine's encoded chunk table:
+/** DataSource V2 read surface for the engine's encoded chunk table —
+  * the declarative twin of the reference CLI's decompress direction
+  * (/root/reference/src/main.cu:22-31 dispatches compress/decompress
+  * over files; here the compressed table becomes a Catalyst relation),
+  * with the write half fronting the compress direction the same way:
   *
   * {{{ spark.read.format("graft").load(encodeDir) }}}
   *
