@@ -82,9 +82,13 @@ object SparkEntry {
     "q_shuffle_shards" -> (qShuffleShards(_, _)),
     "q_norm_dedup" -> (qNormDedup(_, _)),
     "q_filter_funnel" -> (qFilterFunnel(_, _)),
+    "q_top_customers" -> (qTopCustomers(_, _)),
     "q_engine_roundtrip" -> (qEngineRoundtrip(_, _)),
     "q_engine_rt_range" -> (qEngineRtRange(_, _)),
     "q_dsv2_read" -> (qDsv2Read(_, _)),
+    "q_dsv2_ts_range" -> (qDsv2TsRange(_, _)),
+    "q_dsv2_count" -> (qDsv2Count(_, _)),
+    "q_dsv2_write" -> (qDsv2Write(_, _)),
     // SQL-registered codec surface (Table B UDF/UDAF row)
     "q_sql_codec" -> (qSqlCodec(_, _)))
 
@@ -238,6 +242,25 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+    // 4-table join-agg (TPC-H Q10 shape); revenue in exact integer
+    // cents x (100 - discount%) so the sum is reduction-order-
+    // independent across engines, top 20 under a deterministic total
+    // order (revenue desc, custkey)
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     // the oracle is the UNSALTED aggregation: a hash match proves the
     // salted two-phase plan computes identical results
     "q_salted_agg" ->
@@ -490,6 +513,23 @@ FROM bands GROUP BY band, bucket""",
       """SELECT printf('https://doc.example/%09d', doc_id) AS url,
         |       md5(text) AS text_md5, lang
         |FROM documents WHERE doc_id BETWEEN 50 AND 449""".stripMargin,
+    // time-range scan through the connector: warc_ts = 1700000000 +
+    // doc_id seconds by construction, so the pushed ts bounds are a
+    // doc_id BETWEEN; ts_us re-derives the micros exactly
+    "q_dsv2_ts_range" ->
+      """SELECT printf('https://doc.example/%09d', doc_id) AS url,
+        |       (1700000000 + doc_id) * 1000000 AS ts_us, lang
+        |FROM documents WHERE doc_id BETWEEN 120 AND 379""".stripMargin,
+    // the pushed count(*) answered from chunk metadata must equal the
+    // source-table ground truth
+    "q_dsv2_count" ->
+      "SELECT count(*) AS n_pages FROM documents",
+    // write via df.write.format("graft") -> projected decode readback:
+    // same recompute-from-source oracle as q_engine_roundtrip
+    "q_dsv2_write" ->
+      """SELECT printf('https://doc.example/%09d', doc_id) AS url,
+        |       md5(text) AS text_md5, lang
+        |FROM documents""".stripMargin,
     // same md5-nibble hash on both engines (shift arithmetic, not 16**k —
     // exact in integers), so the sampled set is identical by construction
     "q_sample_stratified" ->
@@ -629,17 +669,20 @@ FROM t""",
         |       count(DISTINCT e.user_id) AS n_users, count(*) AS n_events
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
-    // same seeded-md5 sort key and leading-nibble shard on both engines,
-    // so the permutation is identical by construction (shift arithmetic
-    // for the nibbles — 16**k in doubles loses precision)
+    // same seeded-md5 sort key and leading-4-nibble (16-bit) shard on
+    // both engines, so the permutation is identical by construction
+    // (shift arithmetic for the nibbles — 16**k in doubles loses
+    // precision). Interpolates the DEFAULT shard count: the driver gate
+    // runs with default conf; a deployment overriding
+    // spark.graft.shuffle.shards re-parameterizes the Spark side only.
     "q_shuffle_shards" ->
       s"""WITH x AS (
         |  SELECT doc_id, md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS skey
         |  FROM documents),
         |y AS (
         |  SELECT doc_id, skey,
-        |         CAST(list_sum(list_transform(range(1, 3), i ->
-        |           CAST(strpos('0123456789abcdef', substr(skey, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (2 - i))))
+        |         CAST(list_sum(list_transform(range(1, 5), i ->
+        |           CAST(strpos('0123456789abcdef', substr(skey, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (4 - i))))
         |           % ${graft.ops.Queries.ShuffleShards} AS BIGINT) AS shard
         |  FROM x)
         |SELECT doc_id, shard,

@@ -586,20 +586,27 @@ object EncodeJob {
     // whole-manifest aggregation entirely (it grows with every committed
     // attempt — a long-lived stream must not pay it per micro-batch) and
     // reports this run's totals instead.
+    // stats._1 is pids committed THIS RUN in both branches: the
+    // whole-table branch counts distinct manifest pids and subtracts the
+    // resume-skipped ones there, so the Result construction below never
+    // has to re-adjust per branch (a past review misread exactly that).
     val stats =
       if (!cfg.wholeTableStats)
-        (thisRun._1 + completed.size, Some(thisRun._2), Some(thisRun._3), Some(thisRun._4),
+        (thisRun._1, Some(thisRun._2), Some(thisRun._3), Some(thisRun._4),
           Some(thisRun._5))
       else if (!TableIO.exists(spark, manifestDir(outDir)))
         (0L, None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long])
-      else TableIO.read(spark, manifestDir(outDir))
-        // DISTINCT pids, not manifest rows: a pid can carry one manifest
-        // row per attempt (streaming batches, reconcile), and rows minus
-        // completed-pid count would overcount pidsEncoded
-        .agg(countDistinct($"pid"), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
-        .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])].head()
+      else {
+        val w = TableIO.read(spark, manifestDir(outDir))
+          // DISTINCT pids, not manifest rows: a pid can carry one manifest
+          // row per attempt (streaming batches, reconcile), and rows minus
+          // completed-pid count would overcount pidsEncoded
+          .agg(countDistinct($"pid"), sum($"rows"), sum($"rawBytes"), sum($"encBytes"), sum($"flBaselineBytes"))
+          .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])].head()
+        (w._1 - completed.size, w._2, w._3, w._4, w._5)
+      }
     Result(
-      pidsEncoded = stats._1 - completed.size,
+      pidsEncoded = stats._1,
       pidsSkipped = completed.size.toLong,
       rows = stats._2.getOrElse(0L),
       rawBytes = stats._3.getOrElse(0L),
@@ -904,9 +911,13 @@ object EncodeJob {
     }
   }
 
-  /** Exact UTF-8 byte length without materializing the bytes (null = 0
-    * — a null-bitmap row contributes no payload). Drives the chunk byte
-    * budget in [[encodePartition]]. */
+  /** UTF-8 byte length without materializing the bytes (null = 0 — a
+    * null-bitmap row contributes no payload). Exact for well-formed
+    * UTF-16; an UNPAIRED surrogate is counted as 3 bytes while
+    * `String.getBytes(UTF_8)` replaces it with 1-byte '?', so on
+    * malformed input the count overestimates — the safe direction for
+    * the chunk byte budget in [[encodePartition]] (chunks can only come
+    * out smaller than the target, never larger). */
   private def utf8Len(s: String): Long = {
     if (s == null) return 0L
     var n = 0L
@@ -958,11 +969,25 @@ object EncodeJob {
     val colText = asCol("text", ColumnCodec.encodeBytes(texts, flOnly))
     val colLang = asCol("lang", ColumnCodec.encodeBytes(langsB, flOnly))
     val cols = Seq(colUrl, colTs, colHtml, colText, colLang)
+    // (tsMin, tsMax) over NON-null ts only — the DSv2 time-range skip's
+    // chunk statistics (None = all-null chunk, prunable under any ts
+    // bound; see EncodedChunk scaladoc)
+    var tsMin = Long.MaxValue
+    var tsMax = Long.MinValue
+    var i = 0
+    while (i < tsMicros.length) {
+      if (tsNulls == null || !tsNulls(i)) {
+        if (tsMicros(i) < tsMin) tsMin = tsMicros(i)
+        if (tsMicros(i) > tsMax) tsMax = tsMicros(i)
+      }
+      i += 1
+    }
+    val tsStats = if (tsMin > tsMax) (None, None) else (Some(tsMin), Some(tsMax))
     EncodedChunk(
       pid, blockIdx, rows.length.toLong,
       rows.head.url, rows.last.url,
       cols.map(_.rawBytes).sum, cols.map(_.encBytes).sum, cols.map(_.flBaselineBytes).sum,
       System.nanoTime() - t0, crc.getValue, colUrl, colTs, colHtml, colText, colLang,
-      attemptId)
+      attemptId, tsStats._1, tsStats._2)
   }
 }

@@ -54,7 +54,17 @@ final case class EncodedChunk(
       * replay-skip exactly-once (a replayed batch finds its "batch-N"
       * tag even when only the chunks survived). Null when read from a
       * pre-round-3 table; reconcile then substitutes a fresh tag. */
-    attemptId: String = null) {
+    attemptId: String = null,
+    /** (min, max) of the chunk's NON-NULL warc_ts values in epoch
+      * micros — the time-range twin of (urlMin, urlMax), consumed by the
+      * DSv2 scan for chunk-level and parquet-row-group-level skipping of
+      * `warc_ts >=/<=/=` predicates. None when every ts in the chunk is
+      * null (a ts-range predicate cannot match such a chunk — SQL null
+      * comparison — so readers may prune on it) and null when read from
+      * a pre-round-7 table (readers must then treat the range as
+      * unknown and keep the chunk). */
+    tsMin: Option[Long] = None,
+    tsMax: Option[Long] = None) {
   def cols: Seq[EncodedColumn] = Seq(url, warc_ts, html, text, lang)
 }
 

@@ -198,6 +198,43 @@ object Queries {
       .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey", "left_anti")
       .select($"o_orderkey", $"o_orderpriority")
 
+  /** Multi-table analytics join-aggregate (TPC-H Q10 shape): returned-
+    * item revenue per customer over one order year, through a 4-table
+    * join customer ⋈ orders ⋈ lineitem ⋈ nation. Scale shape: both
+    * selective filters (order-date year, returnflag) are row-local and
+    * push to the parquet scans BEFORE either big join; lineitem ⋈ orders
+    * and ⋈ customer shuffle on their join keys (AQE free to broadcast
+    * the filtered orders side when it measures small); `nation` (25
+    * rows) is an EXPLICIT broadcast. Revenue in exact integer units —
+    * cents × (100 − discount%) — so the sum is aggregation-order-
+    * independent and bit-identical across engines (a double sum's low
+    * bits depend on reduction order); top 20 under a deterministic
+    * total order (revenue desc, custkey). o_orderdate is TIMESTAMP_NTZ
+    * in the parquet; the cast to TIMESTAMP is difference-neutral under
+    * the session's pinned UTC zone. */
+  def qTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val od = $"o_orderdate".cast("timestamp")
+    val orders = t(spark, dir, "orders")
+      .filter(od >= lit("1996-01-01").cast("timestamp") &&
+        od < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val items = t(spark, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        (round($"l_extendedprice" * 100).cast("bigint") *
+          (lit(100L) - round($"l_discount" * 100).cast("bigint"))).as("rev_e4"))
+    val cust = t(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val nat = t(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    items.join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(sum($"rev_e4").as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy($"revenue_e4".desc, $"c_custkey")
+      .limit(20)
+  }
+
   /** Skew-safe aggregation: two-phase salted groupBy — phase 1 aggregates
     * (key, salt) so a hot key spreads over 8 reducers, phase 2 merges the
     * partials per key. The oracle is the PLAIN single-phase GROUP BY, so
@@ -1344,18 +1381,30 @@ object Queries {
           expr("(n_words - n_distinct) * 10000L div n_words"))
           .otherwise(lit(0L)).cast("bigint"))
 
-  /** Shard count for the deterministic corpus shuffle. 64 already dwarfs
-    * this sandbox's 32 cores; a real run raises it to O(output files) —
-    * the per-shard window serializes one shard per task, so shards must
-    * outnumber executors by enough that the scheduler can level them. */
+  /** Default shard count for the deterministic corpus shuffle, and the
+    * value the DuckDB oracle SQL is generated against (the driver gate
+    * runs with default conf). 64 already dwarfs this sandbox's 32 cores. */
   val ShuffleShards = 64
+
+  /** Effective shard count: `spark.graft.shuffle.shards` (default
+    * [[ShuffleShards]]). The per-shard window serializes one shard per
+    * task, so a real deployment sets shards ≈ output files — well above
+    * the executor count — WITHOUT recompiling; shard width and per-task
+    * sort memory decouple through this knob. */
+  def shuffleShards(spark: SparkSession): Int = {
+    val n = spark.conf.get("spark.graft.shuffle.shards", ShuffleShards.toString).toInt
+    require(n > 0 && n <= 65536,
+      s"spark.graft.shuffle.shards must be in [1, 65536] (shard hash is 16 bits), got $n")
+    n
+  }
 
   /** Deterministic global training-order shuffle: every epoch pipeline
     * ends by writing the corpus in a reproducible pseudorandom order.
     * Each doc gets a content-derived sort key (md5 over a seeded doc_id
     * string — reruns and both engines produce the SAME permutation), a
-    * shard from the key's leading nibbles, and a dense position within
-    * its shard. Global order = (shard, pos) — NO global sort and no
+    * shard from the key's leading 4 nibbles (16 bits — so the conf knob
+    * can raise shards to 65536 without exhausting the hash), and a dense
+    * position within its shard. Global order = (shard, pos) — NO global sort and no
     * single-partition window anywhere: one hash exchange on `shard`,
     * then a per-shard window whose partitions the md5 keeps uniform.
     * The alternative spellings fail at scale: orderBy(skey) is a global
@@ -1364,7 +1413,7 @@ object Queries {
     * single-partition WindowExec this repo bans. */
   def qShuffleShards(spark: SparkSession, dir: String): DataFrame = {
     val skey = md5(concat(lit("shuf1:"), $"doc_id".cast("string")).cast("binary"))
-    val shard = conv(substring($"skey", 1, 2), 16, 10).cast("bigint") % ShuffleShards
+    val shard = conv(substring($"skey", 1, 4), 16, 10).cast("bigint") % shuffleShards(spark)
     val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
     t(spark, dir, "documents")
       .select($"doc_id", skey.as("skey"))
@@ -1621,24 +1670,96 @@ object Queries {
     DecodeJob.runProjected(spark, out, Seq("url", "lang"), Some((lo, hi)))
   }
 
-  /** The DataSource V2 connector under the oracle: same encode as
-    * [[qEngineRoundtrip]] (own scratch dir), read back through
-    * `spark.read.format("graft")` with BOTH pushdowns live — a url-range
-    * predicate (consumed by the scan: chunk-level (urlMin, urlMax)
-    * pruning + exact row filtering, no post-scan url filter) and a
-    * projection that drops html/warc_ts (the reader's pruned parquet
-    * MessageType never touches their block leaves). text_md5 proves the
-    * decoded text bytes, so the hash compare asserts the whole
-    * scan → prune → decode → filter path against DuckDB. */
+  private val dsv2Memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Encode-once scratch shared by the DSv2 READ-path queries
+    * (q_dsv2_read / q_dsv2_ts_range / q_dsv2_count): those queries
+    * assert the SCAN — pushdowns, pruning, decode — so re-paying a full
+    * encode per query tripled the suite's largest fixed cost without
+    * widening coverage. The honest full-pipeline encode gates remain
+    * [[qEngineRoundtrip]] (engine surface) and [[qDsv2Write]] (SQL
+    * surface), each with its own per-invocation encode. Memoized per
+    * (session, input dir) with a validity probe — the manifest must
+    * still exist on disk (the scratch dir is process-owned and swept by
+    * pid liveness, but a probe keeps a wiped dir from poisoning every
+    * later DSv2 query in the session); racing recomputes converge, last
+    * wins, same as [[ccMemo]]. */
+  private def dsv2Scratch(spark: SparkSession, dir: String): String = {
+    purgeStoppedSessions(dsv2Memo)(_._1)
+    val key = (spark, dir)
+    val hit = dsv2Memo.get(key)
+    val valid = hit != null && {
+      try graft.sources.TableIO.exists(spark, graft.jobs.EncodeJob.manifestDir(hit))
+      catch { case _: Throwable => false }
+    }
+    if (valid) hit
+    else {
+      val out = processScratch("graft-dsv2-rt", dir, sessionTok(spark))
+      graft.jobs.EncodeJob.run(spark, enginePages(spark, dir), out,
+        graft.jobs.EncodeJob.Config(numPartitions = 8))
+      dsv2Memo.put(key, out)
+      out
+    }
+  }
+
+  /** The DataSource V2 connector under the oracle: the shared encoded
+    * scratch ([[dsv2Scratch]] — encode paid once per session+input),
+    * read back through `spark.read.format("graft")` with BOTH pushdowns
+    * live — a url-range predicate (consumed by the scan: row-group +
+    * chunk-level (urlMin, urlMax) pruning + exact row filtering, no
+    * post-scan url filter) and a projection that drops html/warc_ts
+    * (the reader's pruned parquet MessageType never touches their block
+    * leaves). text_md5 proves the decoded text bytes, so the hash
+    * compare asserts the whole scan → prune → decode → filter path
+    * against DuckDB. */
   def qDsv2Read(spark: SparkSession, dir: String): DataFrame = {
-    import graft.jobs.EncodeJob
-    val pages = enginePages(spark, dir)
-    val out = processScratch("graft-dsv2-rt", dir, sessionTok(spark))
-    EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
+    val out = dsv2Scratch(spark, dir)
     val lo = "https://doc.example/%09d".format(50L)
     val hi = "https://doc.example/%09d".format(449L)
     spark.read.format("graft").load(out)
       .filter($"url" >= lo && $"url" <= hi)
+      .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")
+  }
+
+  /** Time-range scan through the DSv2 connector — the OTHER predicate
+    * every crawl-corpus user writes. `warc_ts` bounds are consumed by
+    * the scan and skip at three levels (parquet row-group (tsMin, tsMax)
+    * statistics → chunk stats → exact decoded micros); enginePages pins
+    * warc_ts = 1700000000 + doc_id seconds, so the oracle is a plain
+    * doc_id BETWEEN. ts_us re-emits the decoded micros, proving the
+    * surviving rows' timestamps byte-exactly. */
+  def qDsv2TsRange(spark: SparkSession, dir: String): DataFrame = {
+    val out = dsv2Scratch(spark, dir)
+    val lo = timestamp_seconds(lit(1700000000L + 120L))
+    val hi = timestamp_seconds(lit(1700000000L + 379L))
+    spark.read.format("graft").load(out)
+      .filter($"warc_ts" >= lo && $"warc_ts" <= hi)
+      .select($"url", unix_micros($"warc_ts").as("ts_us"), $"lang")
+  }
+
+  /** Global count(*) through the DSv2 connector's aggregate pushdown:
+    * answered from the chunk metadata `rows` column in O(#chunks) —
+    * zero payload-block bytes — as per-file partial subtotals Spark
+    * sums (see GraftScanBuilder). The oracle counts the source table,
+    * so the metadata path is asserted against ground truth. */
+  def qDsv2Count(spark: SparkSession, dir: String): DataFrame = {
+    val out = dsv2Scratch(spark, dir)
+    spark.read.format("graft").load(out).agg(count(lit(1)).as("n_pages"))
+  }
+
+  /** The DSv2 WRITE path under the oracle: the corpus written through
+    * `df.write.format("graft")` (the V1Write bridge running the full
+    * resumable EncodeJob — bounds sample, pid shuffle, codec selection,
+    * chunk+manifest commit), then read back via the projected columnar
+    * decode and hash-matched against the source. The pure-SQL-surface
+    * twin of [[qEngineRoundtrip]]; deliberately pays its own full
+    * encode per invocation — it IS the write gate. */
+  def qDsv2Write(spark: SparkSession, dir: String): DataFrame = {
+    val out = processScratch("graft-dsv2-wr", dir, sessionTok(spark))
+    enginePages(spark, dir).toDF()
+      .write.format("graft").option("partitions", "8").mode("overwrite").save(out)
+    graft.jobs.DecodeJob.runProjected(spark, out, Seq("url", "text", "lang"))
       .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")
   }
 

@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.catalog.SupportsWrite
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, InsertableRelation, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType, TimestampType}
@@ -44,14 +45,25 @@ import graft.codec.ColumnCodec
   *    parquet — the reader builds a pruned parquet MessageType, so
   *    `select(url)` never touches text/html bytes on disk.
   *  - '''url-range predicates''' ([[SupportsPushDownFilters]]):
-  *    `>=`/`<=`/`=` on `url` are consumed by the scan — chunks whose
-  *    (urlMin, urlMax) fall outside the bounds are skipped before any
-  *    block is decoded (the chunk-level analog of partition pruning),
-  *    then rows are filtered exactly on the decoded url bytes. The
-  *    comparison is UTF-8 byte order on both levels — the SAME order
-  *    Spark's own string comparison (UTF8String) uses, so consuming the
-  *    filter is semantics-preserving. All other predicates are returned
-  *    as residuals for Spark to evaluate.
+  *    `>=`/`<=`/`=` on `url` are consumed by the scan — parquet row
+  *    groups whose (urlMin, urlMax) STATISTICS cannot intersect the
+  *    bounds are skipped with zero I/O, surviving groups' chunks are
+  *    pruned on the same metadata before any block is decoded (the
+  *    chunk-level analog of partition pruning), then rows are filtered
+  *    exactly on the decoded url bytes. The comparison is UTF-8 byte
+  *    order on all levels — the SAME order Spark's own string
+  *    comparison (UTF8String) uses, so consuming the filter is
+  *    semantics-preserving.
+  *  - '''warc_ts-range predicates''': `>=`/`<=`/`=` on `warc_ts` get
+  *    the same three-level skip through the chunk (tsMin, tsMax) epoch-
+  *    micros statistics (row-group stats → chunk stats → exact decoded
+  *    micros). Pre-round-7 tables without ts statistics fall back to
+  *    the exact row filter alone — never a wrong prune. All other
+  *    predicates are returned as residuals for Spark to evaluate.
+  *  - '''count(*) pushdown''' ([[SupportsPushDownAggregates]]): a
+  *    global unfiltered count is answered from the chunk metadata
+  *    `rows` column in O(#chunks) without touching a payload byte —
+  *    see [[GraftScanBuilder]].
   *
   * Values are emitted as [[InternalRow]]s built directly on the decoded
   * block views (`UTF8String.fromBytes` over the shared payload buffer —
@@ -160,7 +172,7 @@ final class GraftInsertableRelation(path: String, truncate: Boolean,
     val spark = data.sparkSession
     val doOverwrite = truncate || overwriteArg
     if (doOverwrite) TableIO.deleteRecursive(spark, path)
-    else if (TableIO.exists(spark, s"$path/manifest") &&
+    else if (TableIO.exists(spark, graft.jobs.EncodeJob.manifestDir(path)) &&
         !Option(options.get("resume")).exists(_.toBoolean))
       throw new IllegalArgumentException(
         s"graft write: table at $path already has committed partitions, and the " +
@@ -190,15 +202,35 @@ final class GraftInsertableRelation(path: String, truncate: Boolean,
   }
 }
 
-/** Accumulates the two pushdowns. Multiple bounds on `url` are ALL kept
-  * (list, not max/min-folded): the reader applies every bound, so
-  * consuming `url >= a AND url >= b` never widens the predicate. */
+/** Accumulates the pushdowns. Multiple bounds on `url`/`warc_ts` are ALL
+  * kept (list, not max/min-folded): the reader applies every bound, so
+  * consuming `url >= a AND url >= b` never widens the predicate.
+  *
+  * `warc_ts` bounds arrive as [[java.time.Instant]] (the default Java-8
+  * datetime API) or [[java.sql.Timestamp]] (legacy conf) and are
+  * normalized to epoch MICROS — the exact representation the encode
+  * kernel stored and the chunk's (tsMin, tsMax) statistics use, so the
+  * three-level skip (chunk stats, parquet row-group stats, exact decoded
+  * row) is lossless.
+  *
+  * [[SupportsPushDownAggregates]]: a global `count(*)` (no grouping, no
+  * pushed predicates) is answered from the chunk table's `rows` METADATA
+  * column — O(#chunks) int64s, zero payload-block bytes. Pushed as a
+  * PARTIAL aggregate (one per-file subtotal per input partition, Spark
+  * sums them), which is what keeps it correct on a multi-partition
+  * relation — complete pushdown would emit one "total" per file. Refused
+  * whenever predicates were consumed: bounds prune chunks only
+  * approximately, so metadata cannot answer a filtered count exactly. */
 final class GraftScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = GraftDataSource.PageSchema
   private var los: List[String] = Nil
   private var his: List[String] = Nil
+  private var tsLos: List[Long] = Nil
+  private var tsHis: List[Long] = Nil
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of PageSchema in its own order; honor it
@@ -206,11 +238,28 @@ final class GraftScanBuilder(path: String) extends ScanBuilder
     // zero-width rows)
     required = requiredSchema
 
+  /** Pushed timestamp literal → epoch micros (the kernel's and the chunk
+    * statistics' representation). Same arithmetic as the encode side. */
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong))
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000) % 1000000L)
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def consume(f: Filter): Boolean = f match {
       case GreaterThanOrEqual("url", v: String) => los ::= v; true
       case LessThanOrEqual("url", v: String) => his ::= v; true
       case EqualTo("url", v: String) => los ::= v; his ::= v; true
+      case GreaterThanOrEqual("warc_ts", v) =>
+        tsMicros(v).exists { m => tsLos ::= m; true }
+      case LessThanOrEqual("warc_ts", v) =>
+        tsMicros(v).exists { m => tsHis ::= m; true }
+      case EqualTo("warc_ts", v) =>
+        tsMicros(v).exists { m => tsLos ::= m; tsHis ::= m; true }
       case _ => false
     }
     val (acc, residual) = filters.partition(consume)
@@ -218,23 +267,47 @@ final class GraftScanBuilder(path: String) extends ScanBuilder
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GraftScan(path, required, los, his)
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val noPredicates = los.isEmpty && his.isEmpty && tsLos.isEmpty && tsHis.isEmpty
+    val ok = noPredicates &&
+      aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) countPushed = aggregation.aggregateExpressions.length
+    ok
+  }
+
+  override def build(): Scan =
+    new GraftScan(path, required, los, his, tsLos, tsHis, countPushed)
 }
 
 final case class GraftInputPartition(file: String, length: Long) extends InputPartition
 
 final class GraftScan(path: String, required: StructType,
-                      los: Seq[String], his: Seq[String])
+                      los: Seq[String], his: Seq[String],
+                      tsLos: Seq[Long], tsHis: Seq[Long],
+                      countPushed: Int)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countPushed > 0)
+      // partial-aggregate output: one LongType per pushed count(*); the
+      // field name is cosmetic (Spark binds by position)
+      StructType((1 to countPushed).map(i =>
+        StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
 
   override def description(): String = {
     val bounds =
-      (los.map(l => s"url >= '$l'") ++ his.map(h => s"url <= '$h'")).mkString(", ")
+      (los.map(l => s"url >= '$l'") ++ his.map(h => s"url <= '$h'") ++
+        tsLos.map(l => s"warc_ts_micros >= $l") ++
+        tsHis.map(h => s"warc_ts_micros <= $h")).mkString(", ")
+    val agg = if (countPushed > 0) s" PushedAggregates=[COUNT(*) x$countPushed]" else ""
     s"GraftScan path=$path ReadColumns=[${required.fieldNames.mkString(",")}] " +
-      s"PushedUrlBounds=[$bounds]"
+      s"PushedBounds=[$bounds]$agg"
   }
 
   private lazy val partitions: Array[GraftInputPartition] = {
@@ -267,7 +340,9 @@ final class GraftScan(path: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    partitions.toArray[InputPartition]
+    if (countPushed > 0 && partitions.isEmpty)
+      Array(GraftInputPartition("", 0L)) // zero-subtotal sentinel: count(*) of an empty table is 0, not NULL
+    else partitions.toArray[InputPartition]
 
   override def estimateStatistics(): Statistics = new Statistics {
     // raw compressed bytes UNDERSTATE the decoded relation ~4x (the
@@ -292,18 +367,72 @@ final class GraftScan(path: String, required: StructType,
       SparkSession.active.sessionState.newHadoopConf())
     val loB = los.map(_.getBytes(UTF_8)).toArray
     val hiB = his.map(_.getBytes(UTF_8)).toArray
-    new GraftReaderFactory(conf, required.fieldNames, loB, hiB)
+    new GraftReaderFactory(conf, required.fieldNames, loB, hiB,
+      tsLos.toArray, tsHis.toArray, countPushed)
   }
 }
 
 final class GraftReaderFactory(conf: graft.jobs.FlFileJob.SerializableConf,
                                columns: Array[String],
                                loB: Array[Array[Byte]],
-                               hiB: Array[Array[Byte]])
+                               hiB: Array[Array[Byte]],
+                               tsLo: Array[Long],
+                               tsHi: Array[Long],
+                               countPushed: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition].file,
-      conf.value, columns, loB, hiB)
+    if (countPushed > 0)
+      new GraftCountReader(p.asInstanceOf[GraftInputPartition].file,
+        conf.value, countPushed)
+    else
+      new GraftPartitionReader(p.asInstanceOf[GraftInputPartition].file,
+        conf.value, columns, loB, hiB, tsLo, tsHi)
+}
+
+/** Partial `count(*)` straight off the chunk table's `rows` metadata
+  * column: ONE row per chunk file carrying the file's page subtotal.
+  * Reads only the `rows` int64 leaf (the pruned requested schema below)
+  * — no payload block leaf is ever touched, so the cost is O(#chunks)
+  * regardless of table bytes. Spark's final aggregate sums the
+  * subtotals (partial pushdown — see [[GraftScanBuilder]]). */
+final class GraftCountReader(file: String, conf: Configuration, width: Int)
+    extends PartitionReader[InternalRow] {
+  // "" is the empty-table sentinel partition (see planInputPartitions):
+  // zero scan partitions would make Spark's final sum-of-partials NULL
+  // where count(*) must be 0, so an empty table plans one partition
+  // that emits a literal zero subtotal
+  private val reader =
+    if (file.isEmpty) null
+    else ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
+  private var done = false
+  private var total = 0L
+
+  override def next(): Boolean = {
+    if (done) return false
+    if (reader == null) { done = true; return true }
+    try {
+      val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
+      val fsGroup: GroupType = fileSchema
+      val rq = Types.buildMessage()
+        .addFields(fsGroup.getType("rows")).named(fileSchema.getName)
+      reader.setRequestedSchema(rq)
+      val columnIO = new ColumnIOFactory().getColumnIO(rq, fileSchema)
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(rq))
+        var left = pages.getRowCount
+        while (left > 0L) {
+          total = Math.addExact(total, rr.read().getLong("rows", 0))
+          left -= 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+    } finally done = true
+    true
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(Array.fill[Any](width)(total))
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 /** Reads ONE chunk parquet file with a pruned parquet schema (only the
@@ -313,61 +442,52 @@ final class GraftReaderFactory(conf: graft.jobs.FlFileJob.SerializableConf,
 final class GraftPartitionReader(file: String, conf: Configuration,
                                  columns: Array[String],
                                  loB: Array[Array[Byte]],
-                                 hiB: Array[Array[Byte]])
+                                 hiB: Array[Array[Byte]],
+                                 tsLo: Array[Long],
+                                 tsHi: Array[Long])
     extends PartitionReader[InternalRow] {
 
-  private val hasBounds = loB.nonEmpty || hiB.nonEmpty
+  private val hasUrlBounds = loB.nonEmpty || hiB.nonEmpty
+  private val hasTsBounds = tsLo.nonEmpty || tsHi.nonEmpty
   private val needText = columns.contains("text")
-  // the url block must be decoded for exact row filtering even when the
-  // projection dropped it
-  private val blockCols: Array[String] =
-    if (hasBounds && !columns.contains("url")) columns :+ "url" else columns
-
-  // row-group STATISTICS filter on the chunk metadata columns: a row
-  // group whose (urlMin, urlMax) stats cannot intersect the pushed
-  // bounds is skipped before any of its column chunks are READ. A
-  // group's stats span the UNION of the chunk rows it holds (pid-hash
-  // file assignment mixes url ranges within a file), so this prunes at
-  // row-group granularity; the per-chunk-row prune in decodeChunkRow
-  // then skips the decode of individual non-matching chunks the
-  // surviving group still carries.
-  private val rowGroupFilter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] =
-    if (loB.isEmpty && hiB.isEmpty) None
-    else {
-      import org.apache.parquet.filter2.predicate.FilterApi
-      import org.apache.parquet.io.api.Binary
-      val preds: Seq[org.apache.parquet.filter2.predicate.FilterPredicate] =
-        loB.toSeq.map(lo => FilterApi.gtEq(FilterApi.binaryColumn("urlMax"),
-          Binary.fromConstantByteArray(lo))) ++
-          hiB.toSeq.map(hi => FilterApi.ltEq(FilterApi.binaryColumn("urlMin"),
-            Binary.fromConstantByteArray(hi)))
-      Some(org.apache.parquet.filter2.compat.FilterCompat.get(
-        preds.reduce(FilterApi.and(_, _))))
-    }
-
-  private val reader = {
-    val b = org.apache.parquet.HadoopReadOptions.builder(conf, new HPath(file))
-    rowGroupFilter.foreach(b.withRecordFilter)
-    ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf), b.build())
+  // blocks decoded beyond the projection: url for exact url-range
+  // filtering, warc_ts for exact ts-range filtering
+  private val blockCols: Array[String] = {
+    var cs = columns
+    if (hasUrlBounds && !cs.contains("url")) cs = cs :+ "url"
+    if (hasTsBounds && !cs.contains("warc_ts")) cs = cs :+ "warc_ts"
+    cs
   }
+
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
 
   // anything that throws between open() and a successfully constructed
   // reader (schema lookup on a pre-columnar-layout file, say) must not
   // leak the parquet input stream: Spark only close()es readers that
   // createReader returned
-  private val (reqSchema: MessageType, columnIO: org.apache.parquet.io.MessageColumnIO) =
+  private val (reqSchema: MessageType, columnIO: org.apache.parquet.io.MessageColumnIO,
+      hasTsStats: Boolean) =
     try {
       val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
-      /* Pruned parquet projection: metadata primitives + ONLY the needed
-       * columns' `block` leaves — select(url) never reads text bytes. */
       // upcast to GroupType: MessageType inherits a varargs getType
       // overload that makes the String call ambiguous
       val fsGroup: GroupType = fileSchema
+      // ts statistics are schema-gated per FILE: a pre-round-7 chunk
+      // file has no tsMin/tsMax columns, and a predicate referencing a
+      // missing column would make the row-group statistics filter treat
+      // it as all-null and WRONGLY drop every group — such files fall
+      // back to exact row filtering on the decoded warc_ts block
+      val tsStats = hasTsBounds &&
+        fsGroup.containsField("tsMin") && fsGroup.containsField("tsMax")
+      /* Pruned parquet projection: metadata primitives + ONLY the needed
+       * columns' `block` leaves — select(url) never reads text bytes. */
       val fields = scala.collection.mutable.ArrayBuffer.empty[PType]
       def add(n: String): Unit = fields += fsGroup.getType(n)
       add("pid"); add("blockIdx"); add("rows")
       if (needText) add("textCrc32")
-      if (hasBounds) { add("urlMin"); add("urlMax") }
+      if (hasUrlBounds) { add("urlMin"); add("urlMax") }
+      if (tsStats) { add("tsMin"); add("tsMax") }
       blockCols.foreach { c =>
         val g = fsGroup.getType(c).asGroupType()
         fields += new GroupType(g.getRepetition, g.getName, g.getType("block"))
@@ -378,12 +498,57 @@ final class GraftPartitionReader(file: String, conf: Configuration,
       // full file schema and the MessageType above would prune record
       // ASSEMBLY only — every text/html byte still coming off the disk.
       reader.setRequestedSchema(rq)
-      (rq, new ColumnIOFactory().getColumnIO(rq, fileSchema))
+      (rq, new ColumnIOFactory().getColumnIO(rq, fileSchema), tsStats)
     } catch {
       case e: Throwable =>
         try reader.close() catch { case s: Exception => e.addSuppressed(s) }
         throw e
     }
+
+  // row-group STATISTICS filter on the chunk metadata columns: a row
+  // group whose (urlMin, urlMax) / (tsMin, tsMax) stats cannot intersect
+  // the pushed bounds is SKIPPED before any of its column chunks are
+  // read (skipNextRowGroup below — zero I/O for dropped groups). A
+  // group's stats span the UNION of the chunk rows it holds (pid-hash
+  // file assignment mixes ranges within a file), so this prunes at
+  // row-group granularity; the per-chunk-row prune in decodeChunkRow
+  // then skips the decode of individual non-matching chunks the
+  // surviving group still carries. Applied AFTER open (not as a record
+  // filter at open time) so the predicate can be built against the
+  // columns this file's schema actually has.
+  private val keptGroups: java.util.Set[org.apache.parquet.hadoop.metadata.BlockMetaData] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    val preds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.parquet.filter2.predicate.FilterPredicate]
+    if (hasUrlBounds) {
+      loB.foreach(lo => preds += FilterApi.gtEq(FilterApi.binaryColumn("urlMax"),
+        Binary.fromConstantByteArray(lo)))
+      hiB.foreach(hi => preds += FilterApi.ltEq(FilterApi.binaryColumn("urlMin"),
+        Binary.fromConstantByteArray(hi)))
+    }
+    if (hasTsStats) {
+      // an all-null-ts chunk stores null stats; parquet's statistics
+      // visitor then drops the group for gtEq/ltEq — CORRECT here, a
+      // ts-range predicate cannot match a null ts (SQL comparison)
+      tsLo.foreach(lo => preds += FilterApi.gtEq(FilterApi.longColumn("tsMax"),
+        java.lang.Long.valueOf(lo)))
+      tsHi.foreach(hi => preds += FilterApi.ltEq(FilterApi.longColumn("tsMin"),
+        java.lang.Long.valueOf(hi)))
+    }
+    if (preds.isEmpty) null
+    else {
+      val filter = org.apache.parquet.filter2.compat.FilterCompat.get(
+        preds.reduce(FilterApi.and(_, _)))
+      // BlockMetaData has identity equality, so the HashSet is an
+      // identity set over the reader's own block list
+      new java.util.HashSet(
+        org.apache.parquet.filter2.compat.RowGroupFilter.filterRowGroups(
+          filter, reader.getRowGroups, reader.getFooter.getFileMetaData.getSchema))
+    }
+  }
+  private val allGroups = reader.getRowGroups
+  private var groupOrdinal = 0
 
   private var rowsLeftInGroup: Long = 0L
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = null
@@ -393,8 +558,14 @@ final class GraftPartitionReader(file: String, conf: Configuration,
   override def next(): Boolean = {
     while (!rowIter.hasNext) {
       if (rowsLeftInGroup == 0L) {
+        while (keptGroups != null && groupOrdinal < allGroups.size() &&
+            !keptGroups.contains(allGroups.get(groupOrdinal))) {
+          reader.skipNextRowGroup()
+          groupOrdinal += 1
+        }
         val pages = reader.readNextRowGroup()
         if (pages == null) return false
+        groupOrdinal += 1
         rowsLeftInGroup = pages.getRowCount
         recordReader =
           columnIO.getRecordReader(pages, new GroupRecordConverter(reqSchema))
@@ -425,7 +596,7 @@ final class GraftPartitionReader(file: String, conf: Configuration,
     val pid = g.getInteger("pid", 0)
     val blockIdx = g.getInteger("blockIdx", 0)
     val n = g.getLong("rows", 0).toInt
-    if (hasBounds) {
+    if (hasUrlBounds) {
       // chunk-level pruning on (urlMin, urlMax) BEFORE any block decode
       val mn = g.getBinary("urlMin", 0).getBytes
       val mx = g.getBinary("urlMax", 0).getBytes
@@ -434,6 +605,14 @@ final class GraftPartitionReader(file: String, conf: Configuration,
           hiB.forall(hi => java.util.Arrays.compareUnsigned(mn, hi) <= 0)
       if (!overlaps) return Iterator.empty
     }
+    if (hasTsStats) {
+      // chunk-level pruning on (tsMin, tsMax): a null stat pair means
+      // every ts in the chunk is null — prunable under any ts bound
+      if (g.getFieldRepetitionCount("tsMin") == 0) return Iterator.empty
+      val mn = g.getLong("tsMin", 0)
+      val mx = g.getLong("tsMax", 0)
+      if (!(tsLo.forall(mx >= _) && tsHi.forall(mn <= _))) return Iterator.empty
+    }
     var urlView: ColumnCodec.BytesView = null
     def bytesView(name: String): ColumnCodec.BytesView = {
       val v = ColumnCodec.decodeBytesView(blockOf(g, pid, blockIdx, name))
@@ -441,6 +620,14 @@ final class GraftPartitionReader(file: String, conf: Configuration,
       if (name == "text")
         graft.jobs.DecodeJob.requireTextCrc(v, g.getLong("textCrc32", 0), pid, blockIdx)
       v
+    }
+    // warc_ts decodes ONCE whether it serves the projection, the exact
+    // ts-range filter, or both
+    var tsData: (Array[Long], Array[Boolean]) = null
+    def tsDecoded(): (Array[Long], Array[Boolean]) = {
+      if (tsData == null)
+        tsData = ColumnCodec.decodeLongs(blockOf(g, pid, blockIdx, "warc_ts"))
+      tsData
     }
     val getters: Array[Int => Any] = columns.map {
       case c @ ("url" | "text" | "lang") =>
@@ -452,23 +639,34 @@ final class GraftPartitionReader(file: String, conf: Configuration,
         val v = bytesView("html")
         (j: Int) => if (v.isNull(j)) null else v.copyAt(j)
       case "warc_ts" =>
-        val (micros, nulls) = ColumnCodec.decodeLongs(blockOf(g, pid, blockIdx, "warc_ts"))
+        val (micros, nulls) = tsDecoded()
         (j: Int) =>
           if (nulls != null && nulls(j)) null
           else java.lang.Long.valueOf(micros(j)) // InternalRow micros
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
-    if (hasBounds && urlView == null) bytesView("url")
+    if (hasUrlBounds && urlView == null) bytesView("url")
     // shared UTF-8 byte-order range semantics — one definition with
     // DecodeJob.runProjected (see DecodeJob.urlRangeKeep)
-    val keep: Int => Boolean =
-      if (!hasBounds) _ => true
+    val urlKeep: Int => Boolean =
+      if (!hasUrlBounds) null
       else graft.jobs.DecodeJob.urlRangeKeep(urlView, loB, hiB)
-    Iterator.range(0, n).filter(keep).map { j =>
-      val vals = new Array[Any](getters.length)
-      var c = 0
-      while (c < getters.length) { vals(c) = getters(c)(j); c += 1 }
-      new GenericInternalRow(vals)
-    }
+    // exact ts filter on the DECODED micros: null ts never matches a
+    // range bound (SQL comparison semantics)
+    val tsKeep: Int => Boolean =
+      if (!hasTsBounds) null
+      else {
+        val (micros, nulls) = tsDecoded()
+        j => (nulls == null || !nulls(j)) &&
+          tsLo.forall(micros(j) >= _) && tsHi.forall(micros(j) <= _)
+      }
+    Iterator.range(0, n)
+      .filter(j => (urlKeep == null || urlKeep(j)) && (tsKeep == null || tsKeep(j)))
+      .map { j =>
+        val vals = new Array[Any](getters.length)
+        var c = 0
+        while (c < getters.length) { vals(c) = getters(c)(j); c += 1 }
+        new GenericInternalRow(vals)
+      }
   }
 }

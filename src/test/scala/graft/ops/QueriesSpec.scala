@@ -266,13 +266,14 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       s"filter funnel mismatch: $ff")
 
     // shuffle: an independent in-JVM oracle recomputes the seeded-md5
-    // permutation; the query must match it exactly and be stable across
-    // invocations
+    // permutation; the query must match it exactly, be stable across
+    // invocations, and honor the spark.graft.shuffle.shards knob (the
+    // default-conf run is the one the DuckDB gate oracles)
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    val expected = (0L to 8L).map { id =>
+    def expectedPerm(shards: Int) = (0L to 8L).map { id =>
       val k = md5hex(s"shuf1:$id")
-      val shard = java.lang.Long.parseLong(k.substring(0, 2), 16) % Queries.ShuffleShards
+      val shard = java.lang.Long.parseLong(k.substring(0, 4), 16) % shards
       (id, shard, k)
     }.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
       rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case ((id, _, _), i) =>
@@ -281,10 +282,29 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     }.sortBy(_._1)
     val got = Queries.qShuffleShards(spark, dir)
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(got == expected, s"shuffle permutation mismatch: $got vs $expected")
+    assert(got == expectedPerm(Queries.ShuffleShards),
+      s"shuffle permutation mismatch: $got")
     val again = Queries.qShuffleShards(spark, dir)
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(again == got, "shuffle permutation not deterministic across runs")
+    // non-default shard counts, including one past the old 256-value
+    // 2-nibble ceiling: the conf re-parameterizes the plan, the in-JVM
+    // oracle tracks it, and shard ids actually exceed 255
+    for (shards <- Seq(16, 4096)) {
+      spark.conf.set("spark.graft.shuffle.shards", shards.toString)
+      try {
+        val g = Queries.qShuffleShards(spark, dir)
+          .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+        assert(g == expectedPerm(shards), s"shards=$shards mismatch: $g")
+        if (shards > 256)
+          assert(g.exists(_._2 > 255L), s"shards=$shards never exceeded 8-bit shard ids: $g")
+      } finally spark.conf.unset("spark.graft.shuffle.shards")
+    }
+    intercept[IllegalArgumentException] {
+      spark.conf.set("spark.graft.shuffle.shards", "0")
+      try Queries.qShuffleShards(spark, dir)
+      finally spark.conf.unset("spark.graft.shuffle.shards")
+    }
   }
 
   test("processScratch sweeps dead-JVM dirs, keeps live ones, wipes its own") {
