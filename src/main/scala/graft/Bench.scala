@@ -18,6 +18,31 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def jsonEscape(s: String): String = JsonEscape(s)
 
+  /** String-aware brace/bracket balance check — NOT a JSON parser, just
+    * enough to reject a truncated blob whose last byte happens to be an
+    * inner '}' (which startsWith/endsWith alone accepts). */
+  private[graft] def balancedJson(s: String): Boolean = {
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1; if (depth < 0) return false
+        case _ => ()
+      }
+      i += 1
+    }
+    depth == 0 && !inStr
+  }
+
   def main(args: Array[String]): Unit = {
     val (repeat, names) = args.toList match {
       case "-r" :: n :: rest => (math.max(1, n.toInt), rest)
@@ -25,6 +50,12 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // a typo'd name must not silently select nothing and print a passing
+    // 0-second bench — and the check needs nothing from Spark, so it runs
+    // BEFORE the ~20 s session spin-up, not after
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,11 +69,6 @@ object Bench {
     spark.range(100000L).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => () }
-    // a typo'd name must not silently select nothing and print a passing
-    // 0-second bench
-    val unknown = names.filterNot(SparkEntry.queries.contains)
-    require(unknown.isEmpty,
-      s"unknown queries: ${unknown.mkString(", ")} (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => names.contains(k) }
@@ -85,9 +111,13 @@ object Bench {
       if (java.nio.file.Files.exists(p)) {
         // sanity-gate the inlined blob: a truncated/empty file (killed
         // ScalingBench mid-write) must not turn THIS bench line — an
-        // otherwise-good round — into unparseable JSON; omit instead
+        // otherwise-good round — into unparseable JSON; omit instead.
+        // Balance-count braces/brackets (string-aware): a prefix
+        // truncated at an INNER '}' still starts '{' and ends '}', which
+        // the old startsWith/endsWith gate waved through
         val s = java.nio.file.Files.readString(p).trim
-        if (s.startsWith("{") && s.endsWith("}")) "," + "\"scaling\":" + s
+        if (s.startsWith("{") && s.endsWith("}") && balancedJson(s))
+          "," + "\"scaling\":" + s
         else { System.err.println(s"[bench] ignoring malformed bench_scaling.json (${s.length} chars)"); "" }
       } else ""
     }

@@ -286,9 +286,20 @@ object ScalingBench {
     val reps = args.drop(3).headOption.map(_.toInt)
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)).getOrElse(3)
     val r = run(nDocs, parts, work, reps = reps)
-    Files.writeString(Paths.get("BENCH.md"), renderMarkdown(r))
+    // ATOMIC publishes (temp + rename): a kill or disk-full mid-write
+    // must never leave a truncated bench_scaling.json for graft.Bench to
+    // inline (its balance gate would reject it, but a half-written file
+    // should not exist at all) or a half-regenerated BENCH.md
+    def writeAtomic(name: String, content: String): Unit = {
+      val tmp = Paths.get(s"$name.tmp")
+      Files.writeString(tmp, content)
+      Files.move(tmp, Paths.get(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeAtomic("BENCH.md", renderMarkdown(r))
     val out = json(r) // stamp once: file and stdout must carry the same runId
-    Files.writeString(Paths.get("bench_scaling.json"), out)
+    writeAtomic("bench_scaling.json", out)
     println(out)
   }
 }

@@ -29,9 +29,15 @@ object ScalingLevel {
 
   def rmrf(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
+      // never FOLLOW a symlink: File.isDirectory resolves links, so
+      // recursing through one would delete the TARGET's contents — rm -rf
+      // unlinks the link itself, and so does this (delete() below removes
+      // the link, not the target)
+      val children =
+        if (!java.nio.file.Files.isSymbolicLink(f.toPath) && f.isDirectory) f.listFiles()
+        else null
       // null-safe: listFiles() returns null for unreadable or
       // concurrently-vanishing dirs (same contract as SparkFixture.rmrf)
-      val children = if (f.isDirectory) f.listFiles() else null
       if (children != null) children.foreach(rec)
       f.delete()
     }

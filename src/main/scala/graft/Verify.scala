@@ -22,16 +22,13 @@ object Verify {
     ScalingLevel.rmrf(outDir)
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // shared helper (ScalingLevel.rmrf): the repo had four copies of this
-    // recursion drifting independently
-    def rmrf(f: java.io.File): Unit = ScalingLevel.rmrf(f.getPath)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name FAILED: ${errors(name)}")
-        rmrf(new java.io.File(s"$outDir/$name")) // no partial output either
+        ScalingLevel.rmrf(s"$outDir/$name") // no partial output either
       }
     }
     def q(s: String): String = JsonEscape.quote(s)

@@ -159,11 +159,8 @@ object DecodeJob {
     rows
   }
 
-  private def microsToTs(micros: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(math.floorDiv(micros, 1000000L) * 1000L)
-    t.setNanos((math.floorMod(micros, 1000000L) * 1000L).toInt)
-    t
-  }
+  private def microsToTs(micros: Long): java.sql.Timestamp =
+    graft.model.TsMicros.toTs(micros)
 
   def decodeChunk(chunk: EncodedChunk): Iterator[Page] = {
     // guard EVERY column struct, not just url: a partially-corrupt row

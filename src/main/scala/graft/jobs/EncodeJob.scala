@@ -402,9 +402,15 @@ object EncodeJob {
     // this ABNORMAL path — bounds missing with a chunks dir present,
     // e.g. after an empty first run that committed nothing; the normal
     // resume never reaches it.)
+    // Both probes check for committed ROWS, not mere dir existence: a
+    // manifest/ (or chunks/) dir holding only the committer's _temporary
+    // — a crash during the very first write — has committed NOTHING and
+    // must not trip the guard (it would otherwise refuse every restart
+    // of a first run that died mid-write, a permanent crash loop).
     if (cfg.resume && cfg.numPartitions > 1 &&
         !TableIO.exists(spark, boundsPath(outDir)) &&
-        (TableIO.exists(spark, manifestDir(outDir)) ||
+        ((TableIO.exists(spark, manifestDir(outDir)) &&
+            !manifestScan(spark, outDir).isEmpty) ||
           (TableIO.exists(spark, chunksDir(outDir)) &&
             !chunkMetaScan(spark, outDir).isEmpty)))
       throw new IllegalStateException(
@@ -419,7 +425,7 @@ object EncodeJob {
 
     var completed: Set[Int] =
       if (cfg.resume && TableIO.exists(spark, manifestDir(outDir)))
-        TableIO.read(spark, manifestDir(outDir)).select($"pid").as[Int].collect().toSet
+        manifestScan(spark, outDir).select($"pid").as[Int].collect().toSet
       else Set.empty
 
     // Reconcile the crash window between the chunk commit and the manifest
@@ -538,7 +544,7 @@ object EncodeJob {
         val fresh = manifestRowsFromChunks(spark, cur, finishedAt)
         if (!TableIO.exists(spark, manifestDir(outDir))) fresh
         else fresh.join(
-          TableIO.read(spark, manifestDir(outDir))
+          manifestScan(spark, outDir)
             .filter($"attemptId" === attemptId).select($"pid"),
           Seq("pid"), "left_anti")
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -597,7 +603,7 @@ object EncodeJob {
       else if (!TableIO.exists(spark, manifestDir(outDir)))
         (0L, None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long])
       else {
-        val w = TableIO.read(spark, manifestDir(outDir))
+        val w = manifestScan(spark, outDir)
           // DISTINCT pids, not manifest rows: a pid can carry one manifest
           // row per attempt (streaming batches, reconcile), and rows minus
           // completed-pid count would overcount pidsEncoded
@@ -631,6 +637,19 @@ object EncodeJob {
     spark.read
       .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
       .format(TableIO.format(spark)).load(chunksDir(outDir))
+
+  /** Explicit-schema manifest read. The schema matters beyond pruning: a
+    * manifest dir that EXISTS but holds no data files yet (the committer
+    * creates `_temporary` before the first row lands, so a crash during
+    * the very first manifest write leaves exactly that) must read as an
+    * EMPTY table — a schema-inferring read throws 'Unable to infer
+    * schema' there, which would turn that one crash window into a
+    * permanent restart loop for both batch resume and the streaming
+    * replay probe. */
+  private[graft] def manifestScan(spark: SparkSession, outDir: String) =
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[PartitionManifest].schema)
+      .format(TableIO.format(spark)).load(manifestDir(outDir))
 
   /** Distributed manifest derivation: one manifest row per
     * (pid, attemptId), aggregated from chunk metadata columns with no
@@ -754,7 +773,7 @@ object EncodeJob {
     val flagged =
       if (!TableIO.exists(spark, manifestDir(outDir))) meta.withColumn("m", lit(0))
       else meta.join(
-          TableIO.read(spark, manifestDir(outDir))
+          manifestScan(spark, outDir)
             .filter($"attemptId".isin(attempts.toSeq: _*))
             .select($"pid", $"attemptId").distinct().withColumn("m", lit(1)),
           Seq("pid", "attemptId"), "left")
@@ -786,7 +805,7 @@ object EncodeJob {
     val orphanRows = (
       if (!TableIO.exists(spark, manifestDir(outDir))) fresh
       else fresh.join(
-        TableIO.read(spark, manifestDir(outDir))
+        manifestScan(spark, outDir)
           .filter($"attemptId".isin(pending.toSeq: _*))
           .select($"pid", $"attemptId"),
         Seq("pid", "attemptId"), "left_anti"))
@@ -820,7 +839,7 @@ object EncodeJob {
     val orphanRows = (
       if (!TableIO.exists(spark, manifestDir(outDir))) rows
       else {
-        val manifestPairs = TableIO.read(spark, manifestDir(outDir))
+        val manifestPairs = manifestScan(spark, outDir)
           .select($"pid", $"attemptId").distinct()
         val byPair = rows.filter($"attemptId" =!= fallbackTag)
           .join(manifestPairs, Seq("pid", "attemptId"), "left_anti")
@@ -952,8 +971,7 @@ object EncodeJob {
     val tsNulls = if (rows.exists(_.warc_ts == null)) rows.map(_.warc_ts == null) else null
     val tsMicros = rows.map { r =>
       val ts = r.warc_ts
-      if (ts == null) 0L
-      else math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      if (ts == null) 0L else graft.model.TsMicros.micros(ts)
     }
 
     // null texts are SKIPPED — the decode-side lineage check

@@ -127,7 +127,7 @@ object PipelineCli {
         import spark.implicits._
         val source = TableIO.read(spark, in).as[graft.model.Page]
         val report = VerifyJob.run(spark, source, DecodeJob.run(spark, outDir))
-        println(s"""{"op":"verify","ok":${report.ok},"source":${report.sourceRows},"decoded":${report.decodedRows},"joined":${report.joinedRows},"textMismatches":${report.textMismatches},"htmlMismatches":${report.htmlMismatches},"tsMismatches":${report.tsMismatches},"langMismatches":${report.langMismatches},"rowMismatches":${report.rowMismatches}}""")
+        println(s"""{"op":"verify","ok":${report.ok},"source":${report.sourceRows},"decoded":${report.decodedRows},"joined":${report.joinedRows},"textMismatches":${report.textMismatches},"htmlMismatches":${report.htmlMismatches},"tsMismatches":${report.tsMismatches},"langMismatches":${report.langMismatches},"rowMismatches":${report.rowMismatches},"countMismatches":${report.countMismatches}}""")
         spark.stop()
         if (!report.ok) sys.exit(1)
 

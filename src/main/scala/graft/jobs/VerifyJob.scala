@@ -25,7 +25,7 @@ object VerifyJob {
       sourceRows: Long,
       decodedRows: Long,
       joinedRows: Long, // urls present on BOTH sides
-      textMismatches: Long, // urls whose text multiset differs — etc.
+      textMismatches: Long, // urls (present on BOTH sides) whose text multiset differs — etc.
       htmlMismatches: Long,
       tsMismatches: Long,
       langMismatches: Long,
@@ -35,11 +35,19 @@ object VerifyJob {
         * with which html between two same-url rows leaves every
         * per-column digest unchanged. The tuple digest pins the
         * pairing. */
-      rowMismatches: Long = 0L) {
+      rowMismatches: Long = 0L,
+      /** urls missing from one side, or present with differing row
+        * counts. Counted HERE and only here — the per-column counters
+        * above require both sides present, so a wholly-missing url
+        * reads as ONE count mismatch, not five misattributed column
+        * mismatches. Global sourceRows == decodedRows cannot replace
+        * this: one url gaining a row while another loses one keeps the
+        * totals equal. */
+      countMismatches: Long = 0L) {
     def ok: Boolean =
       sourceRows == decodedRows && joinedRows > 0 == (sourceRows > 0) &&
         textMismatches + htmlMismatches + tsMismatches + langMismatches +
-          rowMismatches == 0
+          rowMismatches + countMismatches == 0
   }
 
   // hashes sum as decimal(38,0): a plain long sum overflows (and under
@@ -54,17 +62,30 @@ object VerifyJob {
     // a NAMED per-column mismatch counter until one is added here, but
     // rowMismatches covers its content from day one.
     val payload = df.columns.filterNot(_ == "url").toSeq
+    // whole-row-tuple digest: variadic xxhash64 SKIPS null children (the
+    // seed passes through unchanged), so hash(x, null) == hash(null, x)
+    // — a value migrating between columns across a null would go
+    // undetected. Interleaving each column with its null flag restores
+    // positional identity: (x, null) hashes (0, x, 1) while (null, x)
+    // hashes (1, 0, x).
+    val rowHash = xxhash64(
+      payload.flatMap(c => Seq(isnull(col(c)).cast("int"), col(c))): _*)
     df.groupBy(col("url")).agg(
       count(lit(1)).as(s"${tag}_n"),
       dig("text").as(s"${tag}_text"),
       dig("html").as(s"${tag}_html"),
       dig("warc_ts").as(s"${tag}_ts"),
       dig("lang").as(s"${tag}_lang"),
-      // whole-row-tuple digest (variadic xxhash64 over all columns):
       // catches cross-row column re-pairing among duplicate-url rows,
       // which every per-column multiset digest is blind to
-      sum(xxhash64(payload.map(col): _*).cast("decimal(38,0)"))
-        .as(s"${tag}_row"))
+      sum(rowHash.cast("decimal(38,0)")).as(s"${tag}_row"),
+      // second moment under an independent re-hash: a sum digest alone
+      // is cancellable (corruptions across duplicate-url rows whose
+      // hash deltas cancel), and the nonlinear re-hash makes
+      // SIMULTANEOUS cancellation in both sums ~2^-128 — the certifier
+      // must be harder to fool than the bug class it certifies against
+      sum(xxhash64(lit(0x6d32L), rowHash).cast("decimal(38,0)"))
+        .as(s"${tag}_row2"))
   }
 
   def run(spark: SparkSession, source: Dataset[Page], decoded: Dataset[Page]): Report = {
@@ -76,22 +97,29 @@ object VerifyJob {
     // rows and double-count as mismatches — a false verify failure on a
     // byte-identical round trip (groupBy keeps a null-key group; the
     // join must too)
+    val both = $"s_n".isNotNull && $"d_n".isNotNull
     val joined = s.join(d, s("url") <=> d("url"), "full_outer")
       .agg(
-        // coalesce OUTSIDE the sum too: a zero-row join (both tables
-        // empty — a supported case) makes sum() itself null, which the
-        // non-nullable tuple encoder would reject
-        coalesce(sum(coalesce($"s_n", lit(0L))), lit(0L)).as("src"),
-        coalesce(sum(coalesce($"d_n", lit(0L))), lit(0L)).as("dec"),
-        count(when($"s_n".isNotNull && $"d_n".isNotNull, 1)).as("joined"),
-        count(when(!($"s_n" <=> $"d_n") || !($"s_text" <=> $"d_text"), 1)).as("textMm"),
-        count(when(!($"s_html" <=> $"d_html"), 1)).as("htmlMm"),
-        count(when(!($"s_ts" <=> $"d_ts"), 1)).as("tsMm"),
-        count(when(!($"s_lang" <=> $"d_lang"), 1)).as("langMm"),
-        count(when(!($"s_row" <=> $"d_row"), 1)).as("rowMm"))
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        // coalesce the SUM result: a zero-row join (both tables empty —
+        // a supported case) makes sum() itself null, which the
+        // non-nullable tuple encoder would reject (sum already skips
+        // null s_n/d_n rows, so no inner coalesce is needed)
+        coalesce(sum($"s_n"), lit(0L)).as("src"),
+        coalesce(sum($"d_n"), lit(0L)).as("dec"),
+        count(when(both, 1)).as("joined"),
+        // per-column counters fire only when BOTH sides carry the url —
+        // a missing url or a count drift is a COUNT mismatch, reported
+        // once in countMm, not misattributed to five columns
+        count(when(both && !($"s_text" <=> $"d_text"), 1)).as("textMm"),
+        count(when(both && !($"s_html" <=> $"d_html"), 1)).as("htmlMm"),
+        count(when(both && !($"s_ts" <=> $"d_ts"), 1)).as("tsMm"),
+        count(when(both && !($"s_lang" <=> $"d_lang"), 1)).as("langMm"),
+        count(when(both &&
+          (!($"s_row" <=> $"d_row") || !($"s_row2" <=> $"d_row2")), 1)).as("rowMm"),
+        count(when(!($"s_n" <=> $"d_n"), 1)).as("countMm"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .head()
     Report(joined._1, joined._2, joined._3, joined._4, joined._5, joined._6,
-      joined._7, joined._8)
+      joined._7, joined._8, joined._9)
   }
 }

@@ -1,5 +1,27 @@
 package graft.model
 
+/** THE definition of the Timestamp <-> epoch-micros conversion used by
+  * the encode kernel, the decode kernels, the DSv2 pushdown and the
+  * streaming sessionizer. One definition: the codebase once carried four
+  * private copies in two equivalent-but-different spellings, and a
+  * future edge-case fix (say pre-epoch handling) applied to one copy
+  * would silently break encode/decode/streaming timestamp agreement. */
+object TsMicros {
+  /** Exact micros, floor semantics for pre-epoch instants (getTime's
+    * millis and getNanos are both already normalized to [0, 1s)). */
+  def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Inverse; floor (not truncation): for pre-epoch micros a truncating
+    * /1000 plus a NEGATIVE setNanos argument throws — the fractional
+    * part must always land in [0, 1s). */
+  def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+}
+
 /** Input row shape, exactly BASELINE.json `input_hint`:
   * (url:string, warc_ts:timestamp, html:binary, text:string, lang:string). */
 final case class Page(

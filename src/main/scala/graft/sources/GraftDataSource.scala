@@ -239,13 +239,13 @@ final class GraftScanBuilder(path: String) extends ScanBuilder
     required = requiredSchema
 
   /** Pushed timestamp literal → epoch micros (the kernel's and the chunk
-    * statistics' representation). Same arithmetic as the encode side. */
+    * statistics' representation — graft.model.TsMicros is the one
+    * Timestamp definition; Instant is this call site's own case). */
   private def tsMicros(v: Any): Option[Long] = v match {
     case i: java.time.Instant =>
       Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
         (i.getNano / 1000).toLong))
-    case t: java.sql.Timestamp =>
-      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000) % 1000000L)
+    case t: java.sql.Timestamp => Some(graft.model.TsMicros.micros(t))
     case _ => None
   }
 

@@ -44,7 +44,9 @@ object WebtextGen {
     if (skewShare > 0 && u < skewShare) "h0.example.org"
     else {
       val v = ((mix(r) >>> 11).toDouble / (1L << 53).toDouble)
-      val lo = if (skewShare > 0) 1 else 0
+      // hosts == 1 with skew would otherwise compute lo = 1 and emit an
+      // out-of-range h1 — there is only h0 to fall back to
+      val lo = if (skewShare > 0 && hosts > 1) 1 else 0
       val span = math.max(1, hosts - lo)
       val k = lo + math.min(span - 1, (span * v * v * v).toInt) // cubic -> head-heavy
       s"h$k.example.org"

@@ -24,10 +24,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    (anything close enough would be dropped as late), so the span is
   *    provably final. Finality is a PREFIX of the time-sorted span list,
   *    which is what makes the per-user ordinals exact;
-  *  - state size per user is bounded by the watermark horizon: at most
-  *    ~(delay / gap) + 1 unexpired spans (spans are separated by more
-  *    than the gap), so the store is O(active users x horizon/gap) — a
-  *    configuration bound, not a data bound. Within that contract the
+  *  - state size per ACTIVE user is bounded by the watermark horizon:
+  *    at most ~(delay / gap) + 1 unexpired spans (spans are separated
+  *    by more than the gap), so the span store is
+  *    O(active users x horizon/gap) — a configuration bound, not a
+  *    data bound. A user whose spans have all been emitted retains a
+  *    ~16-byte ordinal tombstone (emitted count, no spans): dropping
+  *    it would restart a returning user's session_id at 1, duplicating
+  *    keys — the total state is bounded by DISTINCT users seen, the
+  *    same key domain the batch groupBy shuffles. Within that contract the
   *    output — spans, aggregates, AND ordinals — is EXACTLY the batch
   *    query's, for ANY event disorder the watermark admits
   *    (property-tested against random streams and random batch splits);
@@ -51,16 +56,10 @@ object SessionizeStream extends Serializable {
   final case class SessState(emitted: Long, spans: List[Span])
 
   private def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    graft.model.TsMicros.micros(ts)
 
-  private def toTs(us: Long): java.sql.Timestamp = {
-    // floor semantics, not truncation: for pre-epoch instants (us < 0) a
-    // truncating /1000 plus a NEGATIVE setNanos argument throws — the
-    // fractional part must always land in [0, 1s)
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  private def toTs(us: Long): java.sql.Timestamp =
+    graft.model.TsMicros.toTs(us)
 
   /** Exactly Spark's `round(value * 100).cast("bigint")` arithmetic, so
     * streaming cents match the batch query on EVERY double: finite
@@ -111,7 +110,11 @@ object SessionizeStream extends Serializable {
           case (Nil, sp) => sp :: Nil
           case (cur :: done, sp) =>
             if (sp.start - cur.end <= gapMicros)
-              Span(cur.start, math.max(cur.end, sp.end), cur.n + sp.n, cur.cents + sp.cents) :: done
+              // addExact: the batch analog's ANSI sum(bigint) throws on
+              // Long overflow — a silently wrapped cents total here
+              // would be exactly the batch divergence cents() forbids
+              Span(cur.start, math.max(cur.end, sp.end),
+                Math.addExact(cur.n, sp.n), Math.addExact(cur.cents, sp.cents)) :: done
             else sp :: cur :: done
         }.reverse
       // FINALITY: a span whose end + gap the watermark has strictly
@@ -125,9 +128,20 @@ object SessionizeStream extends Serializable {
       val out = done.zipWithIndex.map { case (sp, i) =>
         SessionOut(userId, prev.emitted + 1L + i, sp.n, toTs(sp.start), toTs(sp.end), sp.cents)
       }
-      if (open.isEmpty) state.remove()
+      val emittedTotal = prev.emitted + done.size
+      if (open.isEmpty && emittedTotal == 0L) state.remove()
+      else if (open.isEmpty)
+        // ORDINAL TOMBSTONE, no timeout: the emitted count must outlive
+        // the spans, or a user returning after an idle period would
+        // restart session_id at 1 — duplicating (user_id, session_id)
+        // keys and breaking exact batch parity. The retained state is
+        // ~16 bytes per user ever seen — the same key domain the batch
+        // query's groupBy shuffles, a bound in users rather than in
+        // events (a deployment preferring TTL'd state would trade
+        // ordinal continuity for it explicitly).
+        state.update(SessState(emittedTotal, Nil))
       else {
-        state.update(SessState(prev.emitted + done.size, open))
+        state.update(SessState(emittedTotal, open))
         // wake when the EARLIEST remaining span becomes final (+1 ms:
         // the timeout timestamp must exceed the current watermark, and
         // firing means wm >= ts > endGapMs — exactly the strict test)
@@ -182,8 +196,13 @@ object SessionizeStream extends Serializable {
     // data files under key=value subdirectories — a top-level-only
     // listing would report such input empty FOREVER and silently never
     // sessionize it. listFiles is lazy; the walk stops at the first hit.
+    // QUALIFIED base for the prefix strip: listFiles returns absolute
+    // qualified paths, so a RELATIVE inDir would never strip and the
+    // hidden-component filter would inspect the whole absolute path —
+    // a '_'/'.'-prefixed component above inDir (or in the cwd) would
+    // make a populated directory read as empty forever
     val files = fs.listFiles(inPath, true)
-    val inUri = inPath.toUri.getPath.stripSuffix("/")
+    val inUri = fs.makeQualified(inPath).toUri.getPath.stripSuffix("/")
     var hasData = false
     while (!hasData && files.hasNext) {
       val st = files.next()

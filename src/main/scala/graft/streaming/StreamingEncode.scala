@@ -94,7 +94,7 @@ object StreamingEncode {
       def batchTagged(c: org.apache.spark.sql.Column) = c.startsWith("batch-")
       val manifestHas =
         TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
-          !TableIO.read(spark, EncodeJob.manifestDir(outDir))
+          !EncodeJob.manifestScan(spark, outDir)
             .filter(batchTagged(org.apache.spark.sql.functions.col("attemptId"))).isEmpty
       val markerHas = TableIO.listDir(spark, EncodeJob.attemptsDir(outDir))
           .exists(n => n.startsWith("begin-batch-") || n.startsWith("chunks-batch-")) ||
@@ -142,7 +142,7 @@ object StreamingEncode {
           TableIO.exists(spark, committedMarker(outDir, tag)) || {
             val inManifest =
               TableIO.exists(spark, EncodeJob.manifestDir(outDir)) &&
-                !TableIO.read(spark, EncodeJob.manifestDir(outDir))
+                !EncodeJob.manifestScan(spark, outDir)
                   .filter(org.apache.spark.sql.functions.col("attemptId") === tag)
                   .isEmpty
             if (inManifest) TableIO.touch(spark, committedMarker(outDir, tag))

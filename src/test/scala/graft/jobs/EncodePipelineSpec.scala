@@ -264,6 +264,58 @@ class EncodePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(VerifyJob.run(spark, withNull, withNull).ok)
   }
 
+  test("verify: value migration across a null, and count-vs-column attribution") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    def pg(url: String, text: String) =
+      graft.model.Page(url, ts, text.getBytes("UTF-8"), text, "en")
+    // a value MIGRATING between two nullable columns across a null:
+    // (text="x", lang=null) vs (text=null, lang="x"). Variadic xxhash64
+    // skips null children, so an un-flagged row digest would hash both
+    // identically; the null-flag interleave must catch it (the per-
+    // column digests also differ here, but the regression this pins is
+    // the ROW digest's blindness — assert rowMismatches specifically)
+    val a = spark.createDataset(Seq(pg("u1", "x").copy(lang = null)))
+    val b = spark.createDataset(Seq(pg("u1", "x").copy(text = null, lang = "x")))
+    val mig = VerifyJob.run(spark, a, b)
+    assert(!mig.ok && mig.rowMismatches == 1L,
+      s"cross-null value migration not caught by the row digest: $mig")
+
+    // a url wholly missing from one side is ONE count mismatch, not
+    // five misattributed column mismatches
+    val full = spark.createDataset(Seq(pg("u1", "x"), pg("u2", "y")))
+    val part = spark.createDataset(Seq(pg("u1", "x")))
+    val miss = VerifyJob.run(spark, full, part)
+    assert(!miss.ok && miss.countMismatches == 1L &&
+      miss.textMismatches + miss.htmlMismatches + miss.tsMismatches +
+        miss.langMismatches + miss.rowMismatches == 0L,
+      s"missing url misattributed: $miss")
+
+    // per-url count drift with EQUAL global totals: only the count
+    // counter may catch this shape
+    val s2 = spark.createDataset(Seq(pg("u1", "x"), pg("u1", "x"), pg("u2", "y")))
+    val d2 = spark.createDataset(Seq(pg("u1", "x"), pg("u2", "y"), pg("u2", "y")))
+    val drift = VerifyJob.run(spark, s2, d2)
+    assert(!drift.ok && drift.countMismatches == 2L,
+      s"count drift with equal totals not caught: $drift")
+  }
+
+  test("a manifest dir holding only _temporary (first-write crash) reads as empty, not a crash loop") {
+    import spark.implicits._
+    val outDir = tmpDir("graft-manifest-temp")
+    graft.ScalingLevel.rmrf(outDir)
+    // simulate a crash during the very FIRST manifest write: the
+    // committer has created manifest/_temporary but no data file exists
+    // — a schema-inferring read throws 'Unable to infer schema' here,
+    // which used to make every restart fail identically forever
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$outDir/manifest/_temporary"))
+    val source = graft.sources.WebtextGen.pages(spark, 60L, seed = 31L, partitions = 2)
+    val res = EncodeJob.run(spark, source, outDir, EncodeJob.Config(numPartitions = 2))
+    assert(res.pidsEncoded == 2L && res.pidsSkipped == 0L, res.toString)
+    assert(VerifyJob.run(spark, source, DecodeJob.run(spark, outDir)).ok)
+  }
+
   test("an empty first run never pins empty bounds for later runs") {
     import spark.implicits._
     val outDir = tmpDir("graft-emptypin")

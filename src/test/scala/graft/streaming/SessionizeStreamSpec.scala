@@ -107,6 +107,51 @@ class SessionizeStreamSpec extends AnyFunSuite with SparkFixture {
     assert(got.count(_._1 == 6L) == 2)
   }
 
+  test("a user returning after full state emission keeps exact ordinals") {
+    import spark.implicits._
+    // user 1's only session times out and is emitted mid-stream (state
+    // spans empty); the user then RETURNS long after. Without the
+    // ordinal tombstone the new session would restart at session_id = 1
+    // — a duplicate (user_id, session_id) key and a batch divergence.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val sessions = SessionizeStream.sessions(
+      in.toDS().withWatermark("ts", "60 minutes"))
+    val q = sessions.writeStream
+      .format("memory").queryName("graft_sessions_tomb").outputMode("append")
+      .start()
+    try {
+      in.addData(Ev(1L, 1L, ts(0), 1.0))
+      q.processAllAvailable()
+      // sentinel batches: advance the watermark past 0 + gap, then run a
+      // batch under it so user 1's timeout fires and its state empties
+      in.addData(Ev(999L, 2L, ts(500), 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(999L, 3L, ts(501), 0.0))
+      q.processAllAvailable()
+      // the returning user: a fresh, non-late session
+      in.addData(Ev(1L, 4L, ts(600), 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(999L, 5L, ts(2000), 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(999L, 6L, ts(2001), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_sessions_tomb").as[SessionOut]
+      .collect().filter(_.user_id == 1L)
+      .map(s => (s.session_id, s.t_start.getTime)).sortBy(_._2).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L),
+      s"returning user's ordinals wrong (session_id restarted?): $got")
+    // and the ordinals match the batch query over the same full history
+    val dir = tmpDir("graft-sess-tomb")
+    spark.createDataset(Seq(
+        Ev(1L, 1L, ts(0), 1.0), Ev(1L, 4L, ts(600), 2.0)))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.ops.Queries.qSessionize(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(3).getTime)).sortBy(_._2).toSeq
+    assert(got == batch, s"streaming $got != batch $batch")
+  }
+
   test("randomized equivalence: streaming == batch for random events and batch splits") {
     import spark.implicits._
     // With a watermark delay exceeding the whole event span, nothing is
