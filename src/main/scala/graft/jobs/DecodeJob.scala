@@ -60,14 +60,20 @@ object DecodeJob {
     * [[runProjected]] (a single bound pair) and the DSv2 reader
     * ([[graft.sources.GraftDataSource]], bound lists). */
   private[graft] def urlRangeKeep(v: ColumnCodec.BytesView,
-      loB: Array[Array[Byte]], hiB: Array[Array[Byte]]): Int => Boolean =
+      loB: Array[Array[Byte]], hiB: Array[Array[Byte]],
+      loStrict: Array[Array[Byte]] = Array.empty,
+      hiStrict: Array[Array[Byte]] = Array.empty): Int => Boolean =
     j => !v.isNull(j) && {
       val s = v.start(j)
       val e = s + v.len(j)
       loB.forall(lo =>
         java.util.Arrays.compareUnsigned(v.payload, s, e, lo, 0, lo.length) >= 0) &&
         hiB.forall(hi =>
-          java.util.Arrays.compareUnsigned(v.payload, s, e, hi, 0, hi.length) <= 0)
+          java.util.Arrays.compareUnsigned(v.payload, s, e, hi, 0, hi.length) <= 0) &&
+        loStrict.forall(lo =>
+          java.util.Arrays.compareUnsigned(v.payload, s, e, lo, 0, lo.length) > 0) &&
+        hiStrict.forall(hi =>
+          java.util.Arrays.compareUnsigned(v.payload, s, e, hi, 0, hi.length) < 0)
     }
 
   def run(spark: SparkSession, outDir: String): Dataset[Page] = {

@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, InsertableRelation, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,13 +91,12 @@ final class GraftDataSource extends TableProvider
 }
 
 object GraftDataSource {
-  /** The decoded Page schema, exactly the input_hint shape. Declared
-    * fully nullable on the READ side (the codec blocks carry null
-    * bitmaps, so a tolerant reader costs nothing). The WRITE contract
-    * is stricter and enforced by the writer: only `warc_ts` may be
-    * null — the encode kernel requires url/text/lang/html (a null
-    * there would otherwise surface as an opaque executor NPE deep in
-    * EncodeJob). */
+  /** The decoded Page schema, exactly the input_hint shape. Fully
+    * nullable on BOTH sides except the one real key constraint: the
+    * codec blocks carry null bitmaps for warc_ts/html/text/lang (null
+    * rows round-trip as nulls through every front door), while `url` —
+    * the range/sort key with no null representation — is enforced
+    * non-null by the writer with a named per-row error. */
   val PageSchema: StructType = StructType(Seq(
     StructField("url", StringType),
     StructField("warc_ts", TimestampType),
@@ -133,7 +132,9 @@ final class GraftTable(path: String) extends Table with SupportsRead with Suppor
   * front doors.
   *
   * Mode semantics follow the engine's contract, not append-merge:
-  *  - `overwrite` — truncate and re-encode from scratch.
+  *  - `overwrite` — re-encode from scratch; onto an EXISTING table it
+  *    stages into a sibling dir and swaps only after the full pipeline
+  *    commits, so a failed overwrite leaves the original table intact.
   *  - `append` on a FRESH directory — a plain encode.
   *  - `append` on an EXISTING table — refused unless
   *    `option("resume", "true")` is set, because the engine's append
@@ -145,10 +146,13 @@ final class GraftTable(path: String) extends Table with SupportsRead with Suppor
   *    end's job ([[graft.streaming.StreamingEncode]]), which carries
   *    the exactly-once batch lineage a blind append cannot.
   *
-  * The writer also enforces the Page contract up front: url / text /
-  * lang / html must be non-null (a codegen'd per-row guard raises a
-  * named error instead of the executor NPE EncodeJob would throw);
-  * only warc_ts is nullable.
+  * The writer enforces the ONE key constraint up front: `url` (the
+  * range/sort key — it has no null representation) must be non-null,
+  * failing with a codegen'd per-row named error. warc_ts / html / text
+  * / lang nulls are legal NULL ROWS carried by the codec null bitmaps —
+  * the same data the engine's CLI surface accepts, so a
+  * read-graft → write-graft round trip of any engine-produced table
+  * succeeds.
   *
   * Options: `partitions` pins the pid count; otherwise it is sized by
   * the 128 MiB-raw/pid rule from Catalyst's plan-size estimate (no
@@ -171,8 +175,8 @@ final class GraftInsertableRelation(path: String, truncate: Boolean,
     import org.apache.spark.sql.{functions => F}
     val spark = data.sparkSession
     val doOverwrite = truncate || overwriteArg
-    if (doOverwrite) TableIO.deleteRecursive(spark, path)
-    else if (TableIO.exists(spark, graft.jobs.EncodeJob.manifestDir(path)) &&
+    if (!doOverwrite &&
+        TableIO.exists(spark, graft.jobs.EncodeJob.manifestDir(path)) &&
         !Option(options.get("resume")).exists(_.toBoolean))
       throw new IllegalArgumentException(
         s"graft write: table at $path already has committed partitions, and the " +
@@ -181,24 +185,64 @@ final class GraftInsertableRelation(path: String, truncate: Boolean,
           "interrupted write of the SAME data with .option(\"resume\", \"true\"), " +
           "use mode(\"overwrite\") to replace the table, or use " +
           "graft.streaming.StreamingEncode for incremental ingest of new data.")
-    // fail per-row with a NAMED error on the non-null contract — the
-    // alternative is an opaque NullPointerException inside the encode
-    // kernel's executor task
-    def required(c: String) =
-      F.when(F.col(c).isNull, F.raise_error(F.lit(
-        s"graft write: column '$c' must be non-null (only warc_ts is nullable)")))
-        .otherwise(F.col(c)).as(c)
-    val pages = data.select(required("url"), F.col("warc_ts"), required("html"),
-        required("text"), required("lang"))
+    // the one NAMED per-row guard the kernel needs: url is the range/
+    // sort key with no null representation. html/text/lang nulls are
+    // REAL null rows — the codec null bitmaps carry them and the decode
+    // paths emit them back (the engine's own CLI surface accepts them,
+    // and the two front doors to one pipeline must agree on what data
+    // is legal); only the key column fails.
+    val pages = data.select(
+        F.when(F.col("url").isNull, F.raise_error(F.lit(
+          "graft write: column 'url' must be non-null (urls are the range key)")))
+          .otherwise(F.col("url")).as("url"),
+        F.col("warc_ts"), F.col("html"), F.col("text"), F.col("lang"))
       .as[graft.model.Page](org.apache.spark.sql.Encoders.product[graft.model.Page])
     val parts = Option(options.get("partitions")).map(_.toInt).getOrElse {
+      // x3 converts ON-DISK parquet bytes to raw (the PipelineCli
+      // calibration). A plan whose stats already approximate raw — e.g.
+      // a graft-to-graft re-encode, where the DSv2 read reports ~4x
+      // disk — over-partitions ~3x, the SAFE direction (smaller pids
+      // never spill; they just make more files). Pass `partitions`
+      // explicitly to pin it.
       val est = data.queryExecution.optimizedPlan.stats.sizeInBytes
       val raw = if (est < BigInt(1L << 40)) est.toLong * 3 else 0L
       graft.jobs.EncodeJob.suggestPartitions(raw, spark.sparkContext.defaultParallelism)
     }
-    graft.jobs.EncodeJob.run(spark, pages, path,
-      graft.jobs.EncodeJob.Config(numPartitions = parts,
-        codecMode = Option(options.get("codecMode")).getOrElse("auto")))
+    val cfg = graft.jobs.EncodeJob.Config(numPartitions = parts,
+      codecMode = Option(options.get("codecMode")).getOrElse("auto"))
+    if (doOverwrite && TableIO.exists(spark, path)) {
+      // STAGE-THEN-SWAP: encode into a sibling staging dir while the old
+      // table stays intact, and only after the full pipeline commits do
+      // delete + rename run. A failed overwrite (null url, executor
+      // loss, codec error) therefore leaves the ORIGINAL table readable
+      // — delete-first would destroy it with nothing to replace it. The
+      // crash window shrinks to the delete+rename pair; a crash inside
+      // it leaves the complete staging dir on disk for manual recovery
+      // (named after the target).
+      val staging = s"$path.__overwrite-${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        graft.jobs.EncodeJob.run(spark, pages, staging, cfg)
+        TableIO.deleteRecursive(spark, path)
+        val hconf = spark.sessionState.newHadoopConf()
+        val dst = new HPath(path)
+        val fs = dst.getFileSystem(hconf)
+        require(fs.rename(new HPath(staging), dst),
+          s"graft write: rename $staging -> $path failed after the old table was " +
+            "removed; the complete new table is intact at the staging path")
+      } catch {
+        case e: Throwable =>
+          // best-effort staging cleanup ONLY when the target still
+          // exists (the failure predates the swap); after the delete,
+          // staging is the sole surviving copy — keep it
+          if (TableIO.exists(spark, path))
+            try TableIO.deleteRecursive(spark, staging)
+            catch { case s: Exception => e.addSuppressed(s) }
+          throw e
+      }
+    } else {
+      if (doOverwrite) TableIO.deleteRecursive(spark, path)
+      graft.jobs.EncodeJob.run(spark, pages, path, cfg)
+    }
   }
 }
 
@@ -221,12 +265,49 @@ final class GraftInsertableRelation(path: String, truncate: Boolean,
   * relation — complete pushdown would emit one "total" per file. Refused
   * whenever predicates were consumed: bounds prune chunks only
   * approximately, so metadata cannot answer a filtered count exactly. */
+/** The consumed scan bounds, shipped to every partition reader: url
+  * bounds as UTF-8 bytes (inclusive and STRICT kept apart — strings
+  * have no exact successor, so `url > v` cannot fold to an inclusive
+  * bound) and warc_ts bounds as epoch micros (always inclusive: micros
+  * are integral, so the builder folds `> t` to `>= t+1µs`). Statistics-
+  * level prunes (parquet row groups, chunk metadata) apply every bound
+  * NON-strictly — conservative-correct for strict bounds — while the
+  * exact decoded-row filters honor strictness. */
+final case class GraftBounds(
+    urlLo: Array[Array[Byte]], urlHi: Array[Array[Byte]],
+    urlLoStrict: Array[Array[Byte]], urlHiStrict: Array[Array[Byte]],
+    tsLo: Array[Long], tsHi: Array[Long]) {
+  def hasUrl: Boolean =
+    urlLo.nonEmpty || urlHi.nonEmpty || urlLoStrict.nonEmpty || urlHiStrict.nonEmpty
+  def hasTs: Boolean = tsLo.nonEmpty || tsHi.nonEmpty
+  def isEmpty: Boolean = !hasUrl && !hasTs
+  // stats-level views: strict url bounds weaken to non-strict (a chunk/
+  // group whose max EQUALS a strict lower bound may still hold no
+  // matching row — the exact filter settles it)
+  def allUrlLo: Array[Array[Byte]] = urlLo ++ urlLoStrict
+  def allUrlHi: Array[Array[Byte]] = urlHi ++ urlHiStrict
+  def chunkUrlOverlaps(mn: Array[Byte], mx: Array[Byte]): Boolean =
+    allUrlLo.forall(lo => java.util.Arrays.compareUnsigned(mx, lo) >= 0) &&
+      allUrlHi.forall(hi => java.util.Arrays.compareUnsigned(mn, hi) <= 0)
+  def chunkTsOverlaps(mn: Long, mx: Long): Boolean =
+    tsLo.forall(mx >= _) && tsHi.forall(mn <= _)
+  def describe: String =
+    (urlLo.map(l => s"url >= '${new String(l, UTF_8)}'") ++
+      urlLoStrict.map(l => s"url > '${new String(l, UTF_8)}'") ++
+      urlHi.map(h => s"url <= '${new String(h, UTF_8)}'") ++
+      urlHiStrict.map(h => s"url < '${new String(h, UTF_8)}'") ++
+      tsLo.map(l => s"warc_ts_micros >= $l") ++
+      tsHi.map(h => s"warc_ts_micros <= $h")).mkString(", ")
+}
+
 final class GraftScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = GraftDataSource.PageSchema
   private var los: List[String] = Nil
   private var his: List[String] = Nil
+  private var losStrict: List[String] = Nil
+  private var hisStrict: List[String] = Nil
   private var tsLos: List[Long] = Nil
   private var tsHis: List[Long] = Nil
   private var pushed: Array[Filter] = Array.empty
@@ -253,11 +334,20 @@ final class GraftScanBuilder(path: String) extends ScanBuilder
     def consume(f: Filter): Boolean = f match {
       case GreaterThanOrEqual("url", v: String) => los ::= v; true
       case LessThanOrEqual("url", v: String) => his ::= v; true
+      case GreaterThan("url", v: String) => losStrict ::= v; true
+      case LessThan("url", v: String) => hisStrict ::= v; true
       case EqualTo("url", v: String) => los ::= v; his ::= v; true
       case GreaterThanOrEqual("warc_ts", v) =>
         tsMicros(v).exists { m => tsLos ::= m; true }
       case LessThanOrEqual("warc_ts", v) =>
         tsMicros(v).exists { m => tsHis ::= m; true }
+      // micros are integral, so strict ts bounds fold to inclusive ±1µs
+      // EXACTLY; the Long.MaxValue/MinValue edges stay residual rather
+      // than wrap
+      case GreaterThan("warc_ts", v) =>
+        tsMicros(v).exists { m => if (m == Long.MaxValue) false else { tsLos ::= m + 1L; true } }
+      case LessThan("warc_ts", v) =>
+        tsMicros(v).exists { m => if (m == Long.MinValue) false else { tsHis ::= m - 1L; true } }
       case EqualTo("warc_ts", v) =>
         tsMicros(v).exists { m => tsLos ::= m; tsHis ::= m; true }
       case _ => false
@@ -270,7 +360,8 @@ final class GraftScanBuilder(path: String) extends ScanBuilder
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val noPredicates = los.isEmpty && his.isEmpty && tsLos.isEmpty && tsHis.isEmpty
+    val noPredicates = los.isEmpty && his.isEmpty && losStrict.isEmpty &&
+      hisStrict.isEmpty && tsLos.isEmpty && tsHis.isEmpty
     val ok = noPredicates &&
       aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.nonEmpty &&
@@ -279,16 +370,19 @@ final class GraftScanBuilder(path: String) extends ScanBuilder
     ok
   }
 
-  override def build(): Scan =
-    new GraftScan(path, required, los, his, tsLos, tsHis, countPushed)
+  override def build(): Scan = {
+    val bounds = GraftBounds(
+      los.map(_.getBytes(UTF_8)).toArray, his.map(_.getBytes(UTF_8)).toArray,
+      losStrict.map(_.getBytes(UTF_8)).toArray, hisStrict.map(_.getBytes(UTF_8)).toArray,
+      tsLos.toArray, tsHis.toArray)
+    new GraftScan(path, required, bounds, countPushed)
+  }
 }
 
 final case class GraftInputPartition(file: String, length: Long) extends InputPartition
 
 final class GraftScan(path: String, required: StructType,
-                      los: Seq[String], his: Seq[String],
-                      tsLos: Seq[Long], tsHis: Seq[Long],
-                      countPushed: Int)
+                      bounds: GraftBounds, countPushed: Int)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -301,13 +395,9 @@ final class GraftScan(path: String, required: StructType,
   override def toBatch: Batch = this
 
   override def description(): String = {
-    val bounds =
-      (los.map(l => s"url >= '$l'") ++ his.map(h => s"url <= '$h'") ++
-        tsLos.map(l => s"warc_ts_micros >= $l") ++
-        tsHis.map(h => s"warc_ts_micros <= $h")).mkString(", ")
     val agg = if (countPushed > 0) s" PushedAggregates=[COUNT(*) x$countPushed]" else ""
     s"GraftScan path=$path ReadColumns=[${required.fieldNames.mkString(",")}] " +
-      s"PushedBounds=[$bounds]$agg"
+      s"PushedBounds=[${bounds.describe}]$agg"
   }
 
   private lazy val partitions: Array[GraftInputPartition] = {
@@ -365,19 +455,13 @@ final class GraftScan(path: String, required: StructType,
     // SerializableConfiguration is private[spark] at the Scala level)
     val conf = new graft.jobs.FlFileJob.SerializableConf(
       SparkSession.active.sessionState.newHadoopConf())
-    val loB = los.map(_.getBytes(UTF_8)).toArray
-    val hiB = his.map(_.getBytes(UTF_8)).toArray
-    new GraftReaderFactory(conf, required.fieldNames, loB, hiB,
-      tsLos.toArray, tsHis.toArray, countPushed)
+    new GraftReaderFactory(conf, required.fieldNames, bounds, countPushed)
   }
 }
 
 final class GraftReaderFactory(conf: graft.jobs.FlFileJob.SerializableConf,
                                columns: Array[String],
-                               loB: Array[Array[Byte]],
-                               hiB: Array[Array[Byte]],
-                               tsLo: Array[Long],
-                               tsHi: Array[Long],
+                               bounds: GraftBounds,
                                countPushed: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -386,7 +470,7 @@ final class GraftReaderFactory(conf: graft.jobs.FlFileJob.SerializableConf,
         conf.value, countPushed)
     else
       new GraftPartitionReader(p.asInstanceOf[GraftInputPartition].file,
-        conf.value, columns, loB, hiB, tsLo, tsHi)
+        conf.value, columns, bounds)
 }
 
 /** Partial `count(*)` straight off the chunk table's `rows` metadata
@@ -441,14 +525,11 @@ final class GraftCountReader(file: String, conf: Configuration, width: Int)
   * straight off the decoded views. */
 final class GraftPartitionReader(file: String, conf: Configuration,
                                  columns: Array[String],
-                                 loB: Array[Array[Byte]],
-                                 hiB: Array[Array[Byte]],
-                                 tsLo: Array[Long],
-                                 tsHi: Array[Long])
+                                 bounds: GraftBounds)
     extends PartitionReader[InternalRow] {
 
-  private val hasUrlBounds = loB.nonEmpty || hiB.nonEmpty
-  private val hasTsBounds = tsLo.nonEmpty || tsHi.nonEmpty
+  private val hasUrlBounds = bounds.hasUrl
+  private val hasTsBounds = bounds.hasTs
   private val needText = columns.contains("text")
   // blocks decoded beyond the projection: url for exact url-range
   // filtering, warc_ts for exact ts-range filtering
@@ -463,11 +544,15 @@ final class GraftPartitionReader(file: String, conf: Configuration,
     ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
 
   // anything that throws between open() and a successfully constructed
-  // reader (schema lookup on a pre-columnar-layout file, say) must not
-  // leak the parquet input stream: Spark only close()es readers that
+  // reader (schema lookup on a pre-columnar-layout file, a corrupt
+  // stats column tripping the row-group filter below, …) must not leak
+  // the parquet input stream: Spark only close()es readers that
   // createReader returned
-  private val (reqSchema: MessageType, columnIO: org.apache.parquet.io.MessageColumnIO,
-      hasTsStats: Boolean) =
+  // plain tuple + field extraction, NOT a destructuring pattern: a
+  // typed pattern (`keptGroups: java.util.Set[...]`) refuses to match
+  // null, and keptGroups is legitimately null when no bounds are pushed
+  private val init: (MessageType, org.apache.parquet.io.MessageColumnIO, Boolean,
+      java.util.Set[org.apache.parquet.hadoop.metadata.BlockMetaData]) =
     try {
       val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
       // upcast to GroupType: MessageType inherits a varargs getType
@@ -498,55 +583,61 @@ final class GraftPartitionReader(file: String, conf: Configuration,
       // full file schema and the MessageType above would prune record
       // ASSEMBLY only — every text/html byte still coming off the disk.
       reader.setRequestedSchema(rq)
-      (rq, new ColumnIOFactory().getColumnIO(rq, fileSchema), tsStats)
+
+      // row-group STATISTICS filter on the chunk metadata columns: a row
+      // group whose (urlMin, urlMax) / (tsMin, tsMax) stats cannot
+      // intersect the pushed bounds is SKIPPED before any of its column
+      // chunks are read (skipNextRowGroup below — zero I/O for dropped
+      // groups). A group's stats span the UNION of the chunk rows it
+      // holds (pid-hash file assignment mixes ranges within a file), so
+      // this prunes at row-group granularity; the per-chunk-row prune in
+      // decodeChunkRow then skips the decode of individual non-matching
+      // chunks the surviving group still carries. Applied AFTER open
+      // (not as a record filter at open time) so the predicate can be
+      // built against the columns this file's schema actually has.
+      // Strict url bounds weaken to non-strict here — conservative.
+      val kept: java.util.Set[org.apache.parquet.hadoop.metadata.BlockMetaData] = {
+        import org.apache.parquet.filter2.predicate.FilterApi
+        import org.apache.parquet.io.api.Binary
+        val preds = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.parquet.filter2.predicate.FilterPredicate]
+        if (hasUrlBounds) {
+          bounds.allUrlLo.foreach(lo => preds += FilterApi.gtEq(
+            FilterApi.binaryColumn("urlMax"), Binary.fromConstantByteArray(lo)))
+          bounds.allUrlHi.foreach(hi => preds += FilterApi.ltEq(
+            FilterApi.binaryColumn("urlMin"), Binary.fromConstantByteArray(hi)))
+        }
+        if (tsStats) {
+          // an all-null-ts chunk stores null stats; parquet's statistics
+          // visitor then drops the group for gtEq/ltEq — CORRECT here, a
+          // ts-range predicate cannot match a null ts (SQL comparison)
+          bounds.tsLo.foreach(lo => preds += FilterApi.gtEq(
+            FilterApi.longColumn("tsMax"), java.lang.Long.valueOf(lo)))
+          bounds.tsHi.foreach(hi => preds += FilterApi.ltEq(
+            FilterApi.longColumn("tsMin"), java.lang.Long.valueOf(hi)))
+        }
+        if (preds.isEmpty) null
+        else {
+          val filter = org.apache.parquet.filter2.compat.FilterCompat.get(
+            preds.reduce(FilterApi.and(_, _)))
+          // BlockMetaData has identity equality, so the HashSet is an
+          // identity set over the reader's own block list
+          new java.util.HashSet(
+            org.apache.parquet.filter2.compat.RowGroupFilter.filterRowGroups(
+              filter, reader.getRowGroups, fileSchema))
+        }
+      }
+      (rq, new ColumnIOFactory().getColumnIO(rq, fileSchema), tsStats, kept)
     } catch {
       case e: Throwable =>
         try reader.close() catch { case s: Exception => e.addSuppressed(s) }
         throw e
     }
+  private def reqSchema = init._1
+  private def columnIO = init._2
+  private def hasTsStats = init._3
+  private def keptGroups = init._4
 
-  // row-group STATISTICS filter on the chunk metadata columns: a row
-  // group whose (urlMin, urlMax) / (tsMin, tsMax) stats cannot intersect
-  // the pushed bounds is SKIPPED before any of its column chunks are
-  // read (skipNextRowGroup below — zero I/O for dropped groups). A
-  // group's stats span the UNION of the chunk rows it holds (pid-hash
-  // file assignment mixes ranges within a file), so this prunes at
-  // row-group granularity; the per-chunk-row prune in decodeChunkRow
-  // then skips the decode of individual non-matching chunks the
-  // surviving group still carries. Applied AFTER open (not as a record
-  // filter at open time) so the predicate can be built against the
-  // columns this file's schema actually has.
-  private val keptGroups: java.util.Set[org.apache.parquet.hadoop.metadata.BlockMetaData] = {
-    import org.apache.parquet.filter2.predicate.FilterApi
-    import org.apache.parquet.io.api.Binary
-    val preds = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.parquet.filter2.predicate.FilterPredicate]
-    if (hasUrlBounds) {
-      loB.foreach(lo => preds += FilterApi.gtEq(FilterApi.binaryColumn("urlMax"),
-        Binary.fromConstantByteArray(lo)))
-      hiB.foreach(hi => preds += FilterApi.ltEq(FilterApi.binaryColumn("urlMin"),
-        Binary.fromConstantByteArray(hi)))
-    }
-    if (hasTsStats) {
-      // an all-null-ts chunk stores null stats; parquet's statistics
-      // visitor then drops the group for gtEq/ltEq — CORRECT here, a
-      // ts-range predicate cannot match a null ts (SQL comparison)
-      tsLo.foreach(lo => preds += FilterApi.gtEq(FilterApi.longColumn("tsMax"),
-        java.lang.Long.valueOf(lo)))
-      tsHi.foreach(hi => preds += FilterApi.ltEq(FilterApi.longColumn("tsMin"),
-        java.lang.Long.valueOf(hi)))
-    }
-    if (preds.isEmpty) null
-    else {
-      val filter = org.apache.parquet.filter2.compat.FilterCompat.get(
-        preds.reduce(FilterApi.and(_, _)))
-      // BlockMetaData has identity equality, so the HashSet is an
-      // identity set over the reader's own block list
-      new java.util.HashSet(
-        org.apache.parquet.filter2.compat.RowGroupFilter.filterRowGroups(
-          filter, reader.getRowGroups, reader.getFooter.getFileMetaData.getSchema))
-    }
-  }
   private val allGroups = reader.getRowGroups
   private var groupOrdinal = 0
 
@@ -598,23 +689,22 @@ final class GraftPartitionReader(file: String, conf: Configuration,
     val n = g.getLong("rows", 0).toInt
     if (hasUrlBounds) {
       // chunk-level pruning on (urlMin, urlMax) BEFORE any block decode
-      val mn = g.getBinary("urlMin", 0).getBytes
-      val mx = g.getBinary("urlMax", 0).getBytes
-      val overlaps =
-        loB.forall(lo => java.util.Arrays.compareUnsigned(mx, lo) >= 0) &&
-          hiB.forall(hi => java.util.Arrays.compareUnsigned(mn, hi) <= 0)
-      if (!overlaps) return Iterator.empty
+      if (!bounds.chunkUrlOverlaps(
+          g.getBinary("urlMin", 0).getBytes, g.getBinary("urlMax", 0).getBytes))
+        return Iterator.empty
     }
     if (hasTsStats) {
       // chunk-level pruning on (tsMin, tsMax): a null stat pair means
       // every ts in the chunk is null — prunable under any ts bound
       if (g.getFieldRepetitionCount("tsMin") == 0) return Iterator.empty
-      val mn = g.getLong("tsMin", 0)
-      val mx = g.getLong("tsMax", 0)
-      if (!(tsLo.forall(mx >= _) && tsHi.forall(mn <= _))) return Iterator.empty
+      if (!bounds.chunkTsOverlaps(g.getLong("tsMin", 0), g.getLong("tsMax", 0)))
+        return Iterator.empty
     }
     var urlView: ColumnCodec.BytesView = null
     def bytesView(name: String): ColumnCodec.BytesView = {
+      // url may already have been decoded for the keep set below —
+      // never decode one block twice
+      if (name == "url" && urlView != null) return urlView
       val v = ColumnCodec.decodeBytesView(blockOf(g, pid, blockIdx, name))
       if (name == "url") urlView = v
       if (name == "text")
@@ -629,6 +719,39 @@ final class GraftPartitionReader(file: String, conf: Configuration,
         tsData = ColumnCodec.decodeLongs(blockOf(g, pid, blockIdx, "warc_ts"))
       tsData
     }
+    // FILTER FIRST, decode after: the keep set needs only the url and/or
+    // warc_ts blocks — resolving it before the projection decodes means
+    // a chunk whose metadata range spans the probe but which holds no
+    // matching row (common: a point lookup against pid-hash-mixed files)
+    // costs a url-block decode, not a 16 MB text decode + CRC pass.
+    val matches: Array[Int] =
+      if (!hasUrlBounds && !hasTsBounds) null // all rows
+      else {
+        // shared UTF-8 byte-order range semantics — one definition with
+        // DecodeJob.runProjected (see DecodeJob.urlRangeKeep)
+        val urlKeep: Int => Boolean =
+          if (!hasUrlBounds) null
+          else graft.jobs.DecodeJob.urlRangeKeep(bytesView("url"),
+            bounds.urlLo, bounds.urlHi, bounds.urlLoStrict, bounds.urlHiStrict)
+        // exact ts filter on the DECODED micros: null ts never matches a
+        // range bound (SQL comparison semantics)
+        val tsKeep: Int => Boolean =
+          if (!hasTsBounds) null
+          else {
+            val (micros, nulls) = tsDecoded()
+            j => (nulls == null || !nulls(j)) &&
+              bounds.tsLo.forall(micros(j) >= _) && bounds.tsHi.forall(micros(j) <= _)
+          }
+        val b = Array.newBuilder[Int]
+        var j = 0
+        while (j < n) {
+          if ((urlKeep == null || urlKeep(j)) && (tsKeep == null || tsKeep(j))) b += j
+          j += 1
+        }
+        val m = b.result()
+        if (m.isEmpty) return Iterator.empty // no projection decode at all
+        m
+      }
     val getters: Array[Int => Any] = columns.map {
       case c @ ("url" | "text" | "lang") =>
         val v = bytesView(c)
@@ -645,28 +768,13 @@ final class GraftPartitionReader(file: String, conf: Configuration,
           else java.lang.Long.valueOf(micros(j)) // InternalRow micros
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
-    if (hasUrlBounds && urlView == null) bytesView("url")
-    // shared UTF-8 byte-order range semantics — one definition with
-    // DecodeJob.runProjected (see DecodeJob.urlRangeKeep)
-    val urlKeep: Int => Boolean =
-      if (!hasUrlBounds) null
-      else graft.jobs.DecodeJob.urlRangeKeep(urlView, loB, hiB)
-    // exact ts filter on the DECODED micros: null ts never matches a
-    // range bound (SQL comparison semantics)
-    val tsKeep: Int => Boolean =
-      if (!hasTsBounds) null
-      else {
-        val (micros, nulls) = tsDecoded()
-        j => (nulls == null || !nulls(j)) &&
-          tsLo.forall(micros(j) >= _) && tsHi.forall(micros(j) <= _)
-      }
-    Iterator.range(0, n)
-      .filter(j => (urlKeep == null || urlKeep(j)) && (tsKeep == null || tsKeep(j)))
-      .map { j =>
-        val vals = new Array[Any](getters.length)
-        var c = 0
-        while (c < getters.length) { vals(c) = getters(c)(j); c += 1 }
-        new GenericInternalRow(vals)
-      }
+    val idx: Iterator[Int] =
+      if (matches == null) Iterator.range(0, n) else matches.iterator
+    idx.map { j =>
+      val vals = new Array[Any](getters.length)
+      var c = 0
+      while (c < getters.length) { vals(c) = getters(c)(j); c += 1 }
+      new GenericInternalRow(vals)
+    }
   }
 }

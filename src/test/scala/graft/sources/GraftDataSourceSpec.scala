@@ -157,6 +157,37 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(got == want, s"range read mismatch: got ${got.size}, want ${want.size}")
   }
 
+  test("STRICT bounds (>/<) are consumed on url and warc_ts, exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val source = WebtextGen.pages(spark, 800L, partitions = 4)
+    val urls = source.select($"url").as[String].collect().sorted
+    val (lo, hi) = (urls(200), urls(600))
+    val df = read().select($"url")
+      .filter($"url" > lo && $"url" < hi)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"url > '$lo'") && plan.contains(s"url < '$hi'"),
+      "strict url bounds not pushed into GraftScan:\n" + plan)
+    val got = df.as[String].collect().sorted.toSeq
+    val want = urls.slice(201, 600).toSeq // strictly between
+    assert(got == want, s"strict url range mismatch: got ${got.size}, want ${want.size}")
+
+    // strict ts bounds fold to inclusive ±1µs (micros are integral)
+    val micros = source.select(unix_micros($"warc_ts")).as[Long].collect().sorted
+    val (tlo, thi) = (micros(100), micros(700))
+    val tdf = spark.read.format("graft").load(dir)
+      .filter($"warc_ts" > timestamp_micros(lit(tlo)) &&
+        $"warc_ts" < timestamp_micros(lit(thi)))
+      .select(unix_micros($"warc_ts").as("us"))
+    val tplan = tdf.queryExecution.executedPlan.toString
+    assert(tplan.contains(s"warc_ts_micros >= ${tlo + 1}") &&
+      tplan.contains(s"warc_ts_micros <= ${thi - 1}"),
+      "strict ts bounds not folded+pushed into GraftScan:\n" + tplan)
+    val tgot = tdf.as[Long].collect().sorted.toSeq
+    val twant = micros.filter(m => m > tlo && m < thi).toSeq
+    assert(tgot == twant, s"strict ts range mismatch: got ${tgot.size}, want ${twant.size}")
+  }
+
   test("equality predicate narrows to a single url") {
     import spark.implicits._
     val source = WebtextGen.pages(spark, 800L, partitions = 4)
@@ -197,16 +228,29 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.format("graft").load(out).count() == 600L,
       "re-issued append duplicated rows instead of resuming")
 
-    // the Page non-null contract fails with a NAMED error, not an NPE
+    // null html/text/lang are LEGAL null rows (the codec null bitmaps
+    // carry them — the same data the engine's CLI surface accepts), and
+    // they round-trip as nulls through the write+read pair
+    val nullDir = tmpDir("graft-dsv2-null")
+    val withNulls = source.limit(50)
+      .withColumn("html", org.apache.spark.sql.functions.lit(null).cast("binary"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit(null).cast("string"))
+    withNulls.write.format("graft").option("partitions", "2")
+      .mode("overwrite").save(nullDir)
+    val nback = spark.read.format("graft").load(nullDir)
+    assert(nback.count() == 50L &&
+      nback.filter($"html".isNull && $"lang".isNull).count() == 50L,
+      "null html/lang did not round-trip as null rows")
+    // the ONE key constraint — url — still fails with a NAMED error
     val nullErr = intercept[Exception] {
-      source.withColumn("html",
-        org.apache.spark.sql.functions.lit(null).cast("binary"))
-        .write.format("graft").mode("overwrite").save(tmpDir("graft-dsv2-null"))
+      source.limit(5).withColumn("url",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+        .write.format("graft").mode("overwrite").save(tmpDir("graft-dsv2-nullurl"))
     }
     def chain(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
     assert(chain(nullErr).exists(m => m != null && m.contains("must be non-null")),
-      s"expected the named non-null contract error, got: ${chain(nullErr)}")
+      s"expected the named non-null url error, got: ${chain(nullErr)}")
 
     // overwrite truncates and re-encodes the new input
     val smaller = WebtextGen.pages(spark, 200L, seed = 22L, partitions = 2).toDF()
@@ -346,6 +390,35 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(!fplan.contains("PushedAggregates"),
       "count pushed despite a consumed predicate:\n" + fplan)
     assert(fdf.collect().head.getLong(0) == 1L)
+  }
+
+  test("a FAILED overwrite leaves the original table intact (stage-then-swap)") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("graft-dsv2-stage")
+    graft.ScalingLevel.rmrf(out)
+    val orig = WebtextGen.pages(spark, 100L, seed = 41L, partitions = 2).toDF()
+    orig.write.format("graft").option("partitions", "2").mode("append").save(out)
+    // a poisoned overwrite (null url trips the per-row guard mid-encode)
+    // must fail WITHOUT touching the committed table: the encode runs in
+    // a staging dir and the swap never happens
+    intercept[Exception] {
+      orig.withColumn("url", lit(null).cast("string"))
+        .write.format("graft").option("partitions", "2").mode("overwrite").save(out)
+    }
+    val after = spark.read.format("graft").load(out)
+    assert(after.count() == 100L, "failed overwrite destroyed the original table")
+    assert(after.exceptAll(orig).count() == 0L && orig.exceptAll(after).count() == 0L)
+    // the failed attempt's staging dir was cleaned up (target survived)
+    val parent = new java.io.File(out).getParentFile
+    val leftovers = parent.listFiles()
+      .filter(_.getName.startsWith(new java.io.File(out).getName + ".__overwrite-"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.mkString(", ")}")
+    // and a HEALTHY overwrite still swaps in the new table
+    val fresh = WebtextGen.pages(spark, 40L, seed = 42L, partitions = 2).toDF()
+    fresh.write.format("graft").option("partitions", "2").mode("overwrite").save(out)
+    val swapped = spark.read.format("graft").load(out)
+    assert(swapped.count() == 40L)
+    assert(swapped.exceptAll(fresh).count() == 0L && fresh.exceptAll(swapped).count() == 0L)
   }
 
   test("empty projection (count star) and empty table read") {
