@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dsv2_read" -> (qDsv2Read(_, _)),
     "q_dsv2_ts_range" -> (qDsv2TsRange(_, _)),
     "q_dsv2_count" -> (qDsv2Count(_, _)),
+    "q_dsv2_minmax" -> (qDsv2MinMax(_, _)),
     "q_dsv2_write" -> (qDsv2Write(_, _)),
     // SQL-registered codec surface (Table B UDF/UDAF row)
     "q_sql_codec" -> (qSqlCodec(_, _)))
@@ -524,6 +525,15 @@ FROM bands GROUP BY band, bucket""",
     // source-table ground truth
     "q_dsv2_count" ->
       "SELECT count(*) AS n_pages FROM documents",
+    // pushed min/max/count from chunk metadata vs the source recompute:
+    // urls embed doc_id (%09d) and warc_ts = 1700000000 + doc_id s
+    "q_dsv2_minmax" ->
+      """SELECT printf('https://doc.example/%09d', min(doc_id)) AS min_url,
+        |       printf('https://doc.example/%09d', max(doc_id)) AS max_url,
+        |       (1700000000 + min(doc_id)) * 1000000 AS min_ts_us,
+        |       (1700000000 + max(doc_id)) * 1000000 AS max_ts_us,
+        |       count(*) AS n_pages
+        |FROM documents""".stripMargin,
     // write via df.write.format("graft") -> projected decode readback:
     // same recompute-from-source oracle as q_engine_roundtrip
     "q_dsv2_write" ->

@@ -1748,6 +1748,27 @@ object Queries {
     spark.read.format("graft").load(out).agg(count(lit(1)).as("n_pages"))
   }
 
+  /** Min/max/count through the DSv2 aggregate pushdown: the extrema of
+    * url and warc_ts plus the row count, every one answered from the
+    * chunk METADATA columns (urlMin/urlMax are the kernel-sorted chunks'
+    * true row extrema, tsMin/tsMax the exact non-null ts extrema —
+    * SQL min/max skip nulls, so the stats ARE the answer) as per-file
+    * partial subtotals. The oracle recomputes all four from the source
+    * table, so the metadata path is asserted against ground truth. */
+  def qDsv2MinMax(spark: SparkSession, dir: String): DataFrame = {
+    val out = dsv2Scratch(spark, dir)
+    // aggregate the RAW columns (a wrapped min(unix_micros(ts)) is not a
+    // pushable NamedReference); the micros conversion happens on the
+    // single post-agg row
+    spark.read.format("graft").load(out)
+      .agg(min($"url").as("min_url"), max($"url").as("max_url"),
+        min($"warc_ts").as("min_ts"), max($"warc_ts").as("max_ts"),
+        count(lit(1)).as("n_pages"))
+      .select($"min_url", $"max_url",
+        unix_micros($"min_ts").as("min_ts_us"),
+        unix_micros($"max_ts").as("max_ts_us"), $"n_pages")
+  }
+
   /** The DSv2 WRITE path under the oracle: the corpus written through
     * `df.write.format("graft")` (the V1Write bridge running the full
     * resumable EncodeJob — bounds sample, pid shuffle, codec selection,

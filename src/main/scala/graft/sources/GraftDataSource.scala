@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.catalog.SupportsWrite
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
@@ -257,14 +258,17 @@ final class GraftInsertableRelation(path: String, truncate: Boolean,
   * three-level skip (chunk stats, parquet row-group stats, exact decoded
   * row) is lossless.
   *
-  * [[SupportsPushDownAggregates]]: a global `count(*)` (no grouping, no
-  * pushed predicates) is answered from the chunk table's `rows` METADATA
-  * column — O(#chunks) int64s, zero payload-block bytes. Pushed as a
-  * PARTIAL aggregate (one per-file subtotal per input partition, Spark
-  * sums them), which is what keeps it correct on a multi-partition
-  * relation — complete pushdown would emit one "total" per file. Refused
-  * whenever predicates were consumed: bounds prune chunks only
-  * approximately, so metadata cannot answer a filtered count exactly. */
+  * [[SupportsPushDownAggregates]]: global `count(*)` / `count(url)`
+  * (url is non-null by the encode contract), `min/max(url)` and
+  * `min/max(warc_ts)` — with no grouping and no pushed predicates —
+  * are answered from the chunk table's METADATA columns (`rows`,
+  * `urlMin`/`urlMax`, `tsMin`/`tsMax`): O(#chunks) values, zero
+  * payload-block bytes. Pushed as PARTIAL aggregates (one per-file
+  * subtotal per input partition; Spark's final aggregate merges),
+  * which is what keeps them correct on a multi-partition relation —
+  * complete pushdown would emit one "total" per file. Refused whenever
+  * predicates were consumed: bounds prune chunks only approximately,
+  * so metadata cannot answer a filtered aggregate exactly. */
 /** The consumed scan bounds, shipped to every partition reader: url
   * bounds as UTF-8 bytes (inclusive and STRICT kept apart — strings
   * have no exact successor, so `url > v` cannot fold to an inclusive
@@ -362,40 +366,80 @@ final class GraftScanBuilder(path: String) extends ScanBuilder
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val noPredicates = los.isEmpty && his.isEmpty && losStrict.isEmpty &&
       hisStrict.isEmpty && tsLos.isEmpty && tsHis.isEmpty
-    val ok = noPredicates &&
-      aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.nonEmpty &&
-      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-    if (ok) countPushed = aggregation.aggregateExpressions.length
-    ok
+    if (!noPredicates || aggregation.groupByExpressions.nonEmpty ||
+        aggregation.aggregateExpressions.isEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    // every supported aggregate is answerable EXACTLY from chunk
+    // metadata: rows (counts — url is non-null by the encode contract,
+    // so count(url) == count(*)), urlMin/urlMax (the chunk's true row
+    // min/max — the kernel sorts by url), tsMin/tsMax (exact non-null
+    // min/max; SQL min/max skip nulls, so the stats ARE the answer)
+    val toks = aggregation.aggregateExpressions.map {
+      case _: CountStar => "count"
+      case c: Count if !c.isDistinct && colOf(c.column).contains("url") => "count"
+      case m: Min => colOf(m.column) match {
+        case Some("url") => "min_url"
+        case Some("warc_ts") => "min_ts"
+        case _ => return false
+      }
+      case m: Max => colOf(m.column) match {
+        case Some("url") => "max_url"
+        case Some("warc_ts") => "max_ts"
+        case _ => return false
+      }
+      case _ => return false
+    }
+    aggTokens = toks
+    true
   }
+  private var aggTokens: Array[String] = Array.empty
 
   override def build(): Scan = {
     val bounds = GraftBounds(
       los.map(_.getBytes(UTF_8)).toArray, his.map(_.getBytes(UTF_8)).toArray,
       losStrict.map(_.getBytes(UTF_8)).toArray, hisStrict.map(_.getBytes(UTF_8)).toArray,
       tsLos.toArray, tsHis.toArray)
-    new GraftScan(path, required, bounds, countPushed)
+    new GraftScan(path, required, bounds, aggTokens)
   }
 }
 
 final case class GraftInputPartition(file: String, length: Long) extends InputPartition
 
 final class GraftScan(path: String, required: StructType,
-                      bounds: GraftBounds, countPushed: Int)
+                      bounds: GraftBounds, aggTokens: Array[String])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
-    if (countPushed > 0)
-      // partial-aggregate output: one LongType per pushed count(*); the
-      // field name is cosmetic (Spark binds by position)
-      StructType((1 to countPushed).map(i =>
-        StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    if (aggTokens.nonEmpty)
+      // partial-aggregate output, one field per pushed aggregate in
+      // Spark's order (it binds by position; names are cosmetic):
+      // counts are non-null LongType, min/max carry the column's type
+      // and are null for an empty table / all-null ts — exactly the
+      // SQL answer Spark's final min/max then preserves
+      StructType(aggTokens.zipWithIndex.map { case (t, i) =>
+        t match {
+          case "count" =>
+            StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+          case "min_url" | "max_url" => StructField(s"agg_$i", StringType)
+          case "min_ts" | "max_ts" => StructField(s"agg_$i", TimestampType)
+        }
+      })
     else required
   override def toBatch: Batch = this
 
   override def description(): String = {
-    val agg = if (countPushed > 0) s" PushedAggregates=[COUNT(*) x$countPushed]" else ""
+    val aggNames = aggTokens.map {
+      case "count" => "COUNT(*)"
+      case "min_url" => "MIN(url)"
+      case "max_url" => "MAX(url)"
+      case "min_ts" => "MIN(warc_ts)"
+      case "max_ts" => "MAX(warc_ts)"
+    }
+    val agg = if (aggTokens.nonEmpty) s" PushedAggregates=[${aggNames.mkString(",")}]" else ""
     s"GraftScan path=$path ReadColumns=[${required.fieldNames.mkString(",")}] " +
       s"PushedBounds=[${bounds.describe}]$agg"
   }
@@ -430,8 +474,10 @@ final class GraftScan(path: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (countPushed > 0 && partitions.isEmpty)
-      Array(GraftInputPartition("", 0L)) // zero-subtotal sentinel: count(*) of an empty table is 0, not NULL
+    if (aggTokens.nonEmpty && partitions.isEmpty)
+      // sentinel for the empty table: count(*) must be 0 (not NULL from
+      // an empty sum of partials) and min/max must be one null partial
+      Array(GraftInputPartition("", 0L))
     else partitions.toArray[InputPartition]
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -455,41 +501,60 @@ final class GraftScan(path: String, required: StructType,
     // SerializableConfiguration is private[spark] at the Scala level)
     val conf = new graft.jobs.FlFileJob.SerializableConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new GraftReaderFactory(conf, required.fieldNames, bounds, countPushed)
+    new GraftReaderFactory(conf, required.fieldNames, bounds, aggTokens)
   }
 }
 
 final class GraftReaderFactory(conf: graft.jobs.FlFileJob.SerializableConf,
                                columns: Array[String],
                                bounds: GraftBounds,
-                               countPushed: Int)
+                               aggTokens: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    if (countPushed > 0)
-      new GraftCountReader(p.asInstanceOf[GraftInputPartition].file,
-        conf.value, countPushed)
+    if (aggTokens.nonEmpty)
+      new GraftAggReader(p.asInstanceOf[GraftInputPartition].file,
+        conf.value, aggTokens)
     else
       new GraftPartitionReader(p.asInstanceOf[GraftInputPartition].file,
         conf.value, columns, bounds)
 }
 
-/** Partial `count(*)` straight off the chunk table's `rows` metadata
-  * column: ONE row per chunk file carrying the file's page subtotal.
-  * Reads only the `rows` int64 leaf (the pruned requested schema below)
-  * — no payload block leaf is ever touched, so the cost is O(#chunks)
-  * regardless of table bytes. Spark's final aggregate sums the
-  * subtotals (partial pushdown — see [[GraftScanBuilder]]). */
-final class GraftCountReader(file: String, conf: Configuration, width: Int)
+/** Partial pushed aggregates straight off the chunk table's METADATA
+  * columns: ONE row per chunk file carrying the file's subtotals —
+  * count from `rows`, min/max url from (urlMin, urlMax) (the chunk's
+  * true row extrema: the kernel sorts by url), min/max warc_ts from
+  * (tsMin, tsMax) (exact non-null extrema; SQL min/max skip nulls, so
+  * the statistics ARE the answer). Reads only the referenced metadata
+  * leaves — no payload block is ever touched — so the cost is
+  * O(#chunks) regardless of table bytes. One exception keeps legacy
+  * tables correct: a pre-round-7 file without ts statistics falls back
+  * to decoding the warc_ts BLOCKS (still only that one column) for the
+  * ts extrema. Spark's final aggregate merges the partials (partial
+  * pushdown — see [[GraftScanBuilder]]). */
+final class GraftAggReader(file: String, conf: Configuration, tokens: Array[String])
     extends PartitionReader[InternalRow] {
   // "" is the empty-table sentinel partition (see planInputPartitions):
   // zero scan partitions would make Spark's final sum-of-partials NULL
-  // where count(*) must be 0, so an empty table plans one partition
-  // that emits a literal zero subtotal
+  // where count(*) must be 0; min/max correctly stay null
   private val reader =
     if (file.isEmpty) null
     else ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
   private var done = false
   private var total = 0L
+  private var minUrl: Array[Byte] = null
+  private var maxUrl: Array[Byte] = null
+  private var haveTs = false
+  private var minTs = 0L
+  private var maxTs = 0L
+
+  private val needCount = tokens.contains("count")
+  private val needUrl = tokens.contains("min_url") || tokens.contains("max_url")
+  private val needTs = tokens.contains("min_ts") || tokens.contains("max_ts")
+
+  private def seeTs(v: Long): Unit = {
+    if (!haveTs) { haveTs = true; minTs = v; maxTs = v }
+    else { if (v < minTs) minTs = v; if (v > maxTs) maxTs = v }
+  }
 
   override def next(): Boolean = {
     if (done) return false
@@ -497,8 +562,19 @@ final class GraftCountReader(file: String, conf: Configuration, width: Int)
     try {
       val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
       val fsGroup: GroupType = fileSchema
-      val rq = Types.buildMessage()
-        .addFields(fsGroup.getType("rows")).named(fileSchema.getName)
+      val hasTsStats = !needTs ||
+        (fsGroup.containsField("tsMin") && fsGroup.containsField("tsMax"))
+      val fields = scala.collection.mutable.ArrayBuffer.empty[PType]
+      if (needCount) fields += fsGroup.getType("rows")
+      if (needUrl) { fields += fsGroup.getType("urlMin"); fields += fsGroup.getType("urlMax") }
+      if (needTs && hasTsStats) {
+        fields += fsGroup.getType("tsMin"); fields += fsGroup.getType("tsMax")
+      }
+      if (needTs && !hasTsStats) {
+        val g = fsGroup.getType("warc_ts").asGroupType()
+        fields += new GroupType(g.getRepetition, g.getName, g.getType("block"))
+      }
+      val rq = Types.buildMessage().addFields(fields.toSeq: _*).named(fileSchema.getName)
       reader.setRequestedSchema(rq)
       val columnIO = new ColumnIOFactory().getColumnIO(rq, fileSchema)
       var pages = reader.readNextRowGroup()
@@ -506,7 +582,33 @@ final class GraftCountReader(file: String, conf: Configuration, width: Int)
         val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(rq))
         var left = pages.getRowCount
         while (left > 0L) {
-          total = Math.addExact(total, rr.read().getLong("rows", 0))
+          val g = rr.read()
+          if (needCount) total = Math.addExact(total, g.getLong("rows", 0))
+          if (needUrl) {
+            val mn = g.getBinary("urlMin", 0).getBytes
+            val mx = g.getBinary("urlMax", 0).getBytes
+            if (minUrl == null || java.util.Arrays.compareUnsigned(mn, minUrl) < 0) minUrl = mn
+            if (maxUrl == null || java.util.Arrays.compareUnsigned(mx, maxUrl) > 0) maxUrl = mx
+          }
+          if (needTs) {
+            if (hasTsStats) {
+              // null stats = all-null-ts chunk: contributes nothing,
+              // exactly like SQL min/max over its rows
+              if (g.getFieldRepetitionCount("tsMin") > 0) {
+                seeTs(g.getLong("tsMin", 0)); seeTs(g.getLong("tsMax", 0))
+              }
+            } else {
+              val col = g.getGroup("warc_ts", 0)
+              require(col.getFieldRepetitionCount("block") > 0,
+                s"chunk in $file: null warc_ts block")
+              val (micros, nulls) = ColumnCodec.decodeLongs(col.getBinary("block", 0).getBytes)
+              var j = 0
+              while (j < micros.length) {
+                if (nulls == null || !nulls(j)) seeTs(micros(j))
+                j += 1
+              }
+            }
+          }
           left -= 1
         }
         pages = reader.readNextRowGroup()
@@ -515,7 +617,13 @@ final class GraftCountReader(file: String, conf: Configuration, width: Int)
     true
   }
   override def get(): InternalRow =
-    new GenericInternalRow(Array.fill[Any](width)(total))
+    new GenericInternalRow(tokens.map[Any] {
+      case "count" => total
+      case "min_url" => if (minUrl == null) null else UTF8String.fromBytes(minUrl)
+      case "max_url" => if (maxUrl == null) null else UTF8String.fromBytes(maxUrl)
+      case "min_ts" => if (haveTs) java.lang.Long.valueOf(minTs) else null
+      case "max_ts" => if (haveTs) java.lang.Long.valueOf(maxTs) else null
+    })
   override def close(): Unit = if (reader != null) reader.close()
 }
 

@@ -392,6 +392,56 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(fdf.collect().head.getLong(0) == 1L)
   }
 
+  test("min/max pushdown answers url and warc_ts extrema from chunk metadata") {
+    import org.apache.spark.sql.functions._
+    val df = read().agg(min("url"), max("url"), min("warc_ts"), max("warc_ts"),
+      count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MIN(url)") && plan.contains("MAX(warc_ts)") &&
+      plan.contains("COUNT(*)"),
+      "min/max/count not pushed into GraftScan:\n" + plan)
+    val row = df.collect().head
+    val src = WebtextGen.pages(spark, 800L, partitions = 4)
+      .agg(min("url"), max("url"), min("warc_ts"), max("warc_ts"), count(lit(1)))
+      .collect().head
+    assert(row == src, s"pushed extrema $row != source recompute $src")
+
+    // metadata-only I/O: far below even the url+lang projection
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfile.impl", classOf[CountingLocalFs].getName)
+    val cdir = s"cntfile://$dir"
+    val b0 = CountingLocalFs.bytesRead.get()
+    spark.read.format("graft").load(cdir)
+      .agg(min("url"), max("warc_ts")).collect()
+    val aggBytes = CountingLocalFs.bytesRead.get() - b0
+    info(s"graft DSv2 bytes read: pushed min/max $aggBytes")
+    assert(aggBytes > 0 && aggBytes < 60000,
+      s"pushed min/max read $aggBytes bytes — not metadata-only")
+
+    // a LEGACY table without ts statistics still answers exactly (falls
+    // back to decoding only the warc_ts blocks)
+    val legacy = tmpDir("graft-dsv2-aggleg")
+    graft.ScalingLevel.rmrf(legacy)
+    spark.read.parquet(s"$dir/chunks").drop("tsMin", "tsMax")
+      .write.mode("overwrite").parquet(s"$legacy/chunks")
+    val lrow = spark.read.format("graft").load(legacy)
+      .agg(min("warc_ts"), max("warc_ts")).collect().head
+    assert(lrow == WebtextGen.pages(spark, 800L, partitions = 4)
+      .agg(min("warc_ts"), max("warc_ts")).collect().head,
+      s"legacy ts extrema wrong: $lrow")
+
+    // an ALL-NULL-ts table answers null extrema and an exact count
+    val nulls = tmpDir("graft-dsv2-aggnull")
+    graft.ScalingLevel.rmrf(nulls)
+    WebtextGen.pages(spark, 30L, seed = 9L, partitions = 2).toDF()
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .write.format("graft").option("partitions", "2").mode("overwrite").save(nulls)
+    val nrow = spark.read.format("graft").load(nulls)
+      .agg(min("warc_ts"), max("warc_ts"), count(lit(1))).collect().head
+    assert(nrow.isNullAt(0) && nrow.isNullAt(1) && nrow.getLong(2) == 30L,
+      s"all-null-ts extrema wrong: $nrow")
+  }
+
   test("a FAILED overwrite leaves the original table intact (stage-then-swap)") {
     import org.apache.spark.sql.functions._
     val out = tmpDir("graft-dsv2-stage")
