@@ -235,7 +235,7 @@ object ScalingBench {
     sb.append(f"  fresh session: ${r.decodeColdSec}%.2f s (scan-path JIT + session spin-up)\n")
     sb.append(f"- FL-only mode (reference-equivalent work, local[32]): ${r.flOnly.gbps}%.3f GB/s at ")
     sb.append(f"ratio ${r.flOnlyEncBytes.toDouble / math.max(1L, r.rawBytes)}%.4f; the full selector's output is ")
-    sb.append(f"${(1 - r.encBytes.toDouble / r.flOnlyEncBytes) * 100}%.0f%% smaller")
+    sb.append(f"${(1 - r.encBytes.toDouble / math.max(1L, r.flOnlyEncBytes)) * 100}%.0f%% smaller")
     // compare against the local[32] level by KEY, not by position: run()
     // only validates that cpuLevels CONTAINS {2,8,32}, so levels.last may
     // be some other level under a reordered/extended cpuLevels — and the

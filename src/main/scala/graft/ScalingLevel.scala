@@ -58,7 +58,8 @@ object ScalingLevel {
     val warmDir = s"$work/warm_$cpus"
     rmrf(warmDir)
     val n = input.count()
-    EncodeJob.run(spark, input.limit((n / 10).toInt.max(1)), warmDir,
+    // Long-safe: a bare (n / 10).toInt wraps for corpora past ~21.4B rows
+    EncodeJob.run(spark, input.limit(math.min(n / 10, Int.MaxValue.toLong).toInt.max(1)), warmDir,
       EncodeJob.Config(numPartitions = parts, codecMode = mode))
 
     // hypervisor steal makes identical runs swing up to 4x on this shared

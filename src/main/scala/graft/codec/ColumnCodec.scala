@@ -248,6 +248,11 @@ object ColumnCodec {
         Array.fill(plain.length / 8)(bb.getLong())
       case f => throw new IllegalArgumentException(s"bad long form $f")
     }
+    // fail AT the corrupt block, not with a bare index error rows later:
+    // the inner codec's own count must agree with the header's arithmetic
+    val expectedPresent = if (h.nulls == null) h.n else h.nulls.count(!_)
+    require(present.length == expectedPresent,
+      s"decoded ${present.length} longs where header implies $expectedPresent — corrupt block")
     if (h.nulls == null) (present, null)
     else {
       val out = new Array[Long](h.n)
@@ -372,8 +377,11 @@ object ColumnCodec {
       else {
         val (bestPayloadName, bestPayloadSize) = payloadCandidates.minBy(_._2)
         // composite body = [lenCodecId][varint lbLen][lb][pCodecId][pb]:
-        // the varint length prefix is part of the realized block, so it is
-        // part of the candidate size (the estimates are exact by contract)
+        // the varint length prefix is part of the realized block, so it
+        // is part of the candidate size. Every candidate size here is
+        // exact by contract EXCEPT an FSST payload (sampled estimate) —
+        // the realized-vs-exact check after build() holds that one to
+        // the smallest-encoding promise.
         Seq(s"$bestPayloadName+lens" ->
             (lenSize + Varint.sizeUnsigned(lenSize) + bestPayloadSize + 2),
           "fl_plain" -> flSize) ++
@@ -417,9 +425,35 @@ object ColumnCodec {
     }
 
     var bytes = build(winner)
-    // structural bound: FSST size was only estimated; if the realized block
-    // exceeds the reference-FL baseline, fall back to FL-on-plain (whose
-    // realized block is always < baseline: same payload, smaller header).
+    // FSST is the ONE candidate whose size is a sampled estimate (every
+    // other size is exact by contract). When it wins, hold the REALIZED
+    // block to the 'smallest encoding wins' promise: if the realized
+    // body came out larger than the best exact candidate (the sampled
+    // region compressed better than the tail), take the exact winner
+    // instead. The comparison is realized-body vs exact-body in the
+    // same units (candidate sizes exclude the shared header + form
+    // byte), so the rebuild only happens when it is a guaranteed win.
+    if (!flOnly && winner == s"${FsstBytes.name}+lens") {
+      val exactCandidates: Seq[(String, Long)] = {
+        val (nm, sz) = payloadCandidates.filterNot(_._1 == FsstBytes.name).minBy(_._2)
+        Seq(s"$nm+lens" -> (lenSize + Varint.sizeUnsigned(lenSize) + sz + 2),
+          "fl_plain" -> flSize) ++
+          dictCandidate.map { case (s, _, _, _) => "dict" -> s }
+      }
+      val (exactName, exactSize) = exactCandidates.minBy(_._2)
+      val headerLen = {
+        val tmp = new ByteArrayOutputStream(16)
+        writeHeader(tmp, n, nulls)
+        tmp.size
+      }
+      if (bytes.length.toLong - headerLen - 1 > exactSize) {
+        winner = exactName
+        bytes = build(winner)
+      }
+    }
+    // structural bound: if the realized block still exceeds the
+    // reference-FL baseline, fall back to FL-on-plain (whose realized
+    // block is always < baseline: same payload, smaller header).
     if (bytes.length > flBaseline) {
       winner = "fl_plain"
       bytes = build(winner)
@@ -460,14 +494,25 @@ object ColumnCodec {
     // (payload, presentStarts, presentLens) for the non-null rows in order
     val (payload, pStarts, pLens): (Array[Byte], Array[Int], Array[Int]) = form match {
       case FormBytesDict =>
-        val dictSize = h.cur.readUnsignedVarint().toInt
+        val dictSizeL = h.cur.readUnsignedVarint()
+        require(dictSizeL >= 0L && dictSizeL <= h.cur.remaining,
+          s"dict size $dictSizeL exceeds remaining ${h.cur.remaining} bytes — corrupt block")
+        val dictSize = dictSizeL.toInt
         val dStarts = new Array[Int](dictSize)
         val dLens = new Array[Int](dictSize)
         // dictionary entries live in the block buffer itself (after their
-        // varint length prefixes); point straight at them, no copies
+        // varint length prefixes); point straight at them, no copies —
+        // which is exactly why each length must be bounds-checked HERE:
+        // advancing the cursor past a corrupt length would silently parse
+        // every later entry and the codes block from shifted offsets
+        // (readBytes guards its own copies; this zero-copy path must
+        // guard its own advance)
         var j = 0
         while (j < dictSize) {
-          val l = h.cur.readUnsignedVarint().toInt
+          val lv = h.cur.readUnsignedVarint()
+          require(lv >= 0L && lv <= h.cur.remaining,
+            s"dict entry $j length $lv exceeds remaining ${h.cur.remaining} bytes — corrupt block")
+          val l = lv.toInt
           dLens(j) = l
           dStarts(j) = h.cur.pos
           h.cur.pos += l
@@ -521,6 +566,11 @@ object ColumnCodec {
         (plain, starts, lens)
       case f => throw new IllegalArgumentException(s"bad bytes form $f")
     }
+    // same fail-at-the-damage contract as decodeLongs: the decoded
+    // present-row count must match the header's arithmetic
+    val expectedPresent = if (h.nulls == null) h.n else h.nulls.count(!_)
+    require(pStarts.length == expectedPresent,
+      s"decoded ${pStarts.length} rows where header implies $expectedPresent — corrupt block")
     if (h.nulls == null) new BytesView(h.n, null, payload, pStarts, pLens)
     else {
       // scatter present entries to row positions; null rows keep (0, 0)

@@ -194,6 +194,49 @@ class ColumnCodecSpec extends AnyFunSuite with GenDriven {
     col.indices.foreach(i => assert(back(i).toSeq == col(i).toSeq))
   }
 
+  test("corrupt dict entry length fails AT the block, not as shifted offsets") {
+    // a dict block whose first entry-length varint is inflated past the
+    // buffer: the zero-copy decoder must refuse to advance the cursor
+    // (silently parsing every later entry and the codes block from
+    // shifted offsets was the failure mode), same contract as readBytes
+    val langs = Array("en", "de", "fr")
+    val rnd = new scala.util.Random(11)
+    val col = Array.fill(500)(langs(rnd.nextInt(3)).getBytes("UTF-8"))
+    val enc = ColumnCodec.encodeBytes(col)
+    assert(enc.codecName == "dict", enc.codecName)
+    // layout: [header][form][varint dictSize][varint len0]... — header is
+    // [version][varint n][varint nullCount] = 1+2+1 = 4 bytes for n=500
+    // no-nulls, so form at 4, dictSize varint at 5, len0 at 6
+    val corrupt = enc.bytes.clone()
+    corrupt(6) = 0xFF.toByte // len0 varint now claims a huge length
+    corrupt(7) = 0xFF.toByte
+    corrupt(8) = 0x7F.toByte
+    val ex = intercept[IllegalArgumentException] { ColumnCodec.decodeBytes(corrupt) }
+    assert(ex.getMessage.contains("corrupt"), ex.getMessage)
+  }
+
+  test("inner-count disagreement with the header fails loudly") {
+    // craft a block whose header claims more rows than the inner codec
+    // holds: take a 50-row no-null long column and patch the header's n
+    // varint from 50 to 60 — the decoder must fail at the block with a
+    // named error, not return a short array for callers to index past
+    val enc = ColumnCodec.encodeLongs(Array.tabulate(50)(_.toLong * 3))
+    val corrupt = enc.bytes.clone()
+    // header: [version][varint n][varint nullCount] — n=50 is one byte at
+    // offset 1
+    assert(corrupt(1) == 50.toByte)
+    corrupt(1) = 60.toByte
+    val ex = intercept[IllegalArgumentException] { ColumnCodec.decodeLongs(corrupt) }
+    assert(ex.getMessage.contains("header implies"), ex.getMessage)
+    // same contract on the bytes side
+    val encB = ColumnCodec.encodeBytes(Array.tabulate(50)(i => s"v$i".getBytes("UTF-8")))
+    val corruptB = encB.bytes.clone()
+    assert(corruptB(1) == 50.toByte)
+    corruptB(1) = 60.toByte
+    val exB = intercept[Exception] { ColumnCodec.decodeBytes(corruptB) }
+    assert(exB.getMessage != null)
+  }
+
   test("corrupt varint fails loudly instead of mis-slicing") {
     val enc = ColumnCodec.encodeBytes(Array.tabulate(50)(i => s"value-$i".getBytes("UTF-8")))
     // overwrite the row-count varint region with endless continuation bytes
