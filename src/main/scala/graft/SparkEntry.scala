@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dsv2_ts_range" -> (qDsv2TsRange(_, _)),
     "q_dsv2_count" -> (qDsv2Count(_, _)),
     "q_dsv2_minmax" -> (qDsv2MinMax(_, _)),
+    "q_engine_ts_range" -> (qEngineTsRange(_, _)),
     "q_dsv2_write" -> (qDsv2Write(_, _)),
     // SQL-registered codec surface (Table B UDF/UDAF row)
     "q_sql_codec" -> (qSqlCodec(_, _)))
@@ -525,6 +526,13 @@ FROM bands GROUP BY band, bucket""",
     // source-table ground truth
     "q_dsv2_count" ->
       "SELECT count(*) AS n_pages FROM documents",
+    // the ENGINE-surface ts-range decode (DecodeJob.runProjected) must
+    // answer the same question as the DSv2 path: doc_id BETWEEN via the
+    // warc_ts = 1700000000 + doc_id construction
+    "q_engine_ts_range" ->
+      """SELECT printf('https://doc.example/%09d', doc_id) AS url,
+        |       (1700000000 + doc_id) * 1000000 AS ts_us, lang
+        |FROM documents WHERE doc_id BETWEEN 200 AND 459""".stripMargin,
     // pushed min/max/count from chunk metadata vs the source recompute:
     // urls embed doc_id (%09d) and warc_ts = 1700000000 + doc_id s
     "q_dsv2_minmax" ->

@@ -83,25 +83,41 @@ object DecodeJob {
   }
 
   /** Columnar decode of a subset of columns, optionally restricted to an
-    * inclusive url range. Only the requested columns' blocks are read
-    * from disk; range pruning happens on chunk metadata before decode,
-    * then exactly (row-level) on the decoded urls. The per-chunk text
-    * CRC lineage check only runs when `text` is decoded (checking it
-    * would otherwise force reading the text blocks — the cost the
-    * projection exists to avoid). */
+    * inclusive url range and/or an inclusive warc_ts range (epoch
+    * micros). Only the requested columns' blocks are read from disk;
+    * range pruning happens on chunk metadata before decode — (urlMin,
+    * urlMax) for urls, (tsMin, tsMax) for timestamps — then exactly
+    * (row-level) on the decoded values. A NULL ts-stats pair is kept at
+    * the chunk level (on a pre-round-7 table it means UNKNOWN — pruning
+    * would silently drop real rows; on a current table it means
+    * all-null-ts, and the exact row filter drops those rows anyway —
+    * conservative either way). A null warc_ts never matches a ts range
+    * (SQL comparison semantics). The per-chunk text CRC lineage check
+    * only runs when `text` is decoded (checking it would otherwise
+    * force reading the text blocks — the cost the projection exists to
+    * avoid). */
   def runProjected(spark: SparkSession, outDir: String, columns: Seq[String],
-                   urlRange: Option[(String, String)] = None): DataFrame = {
+                   urlRange: Option[(String, String)] = None,
+                   tsRangeMicros: Option[(Long, Long)] = None): DataFrame = {
     require(columns.nonEmpty && columns.forall(ColumnNames.contains),
       s"columns must be among $ColumnNames, got $columns")
     require(columns.distinct == columns,
       s"duplicate columns requested: $columns — parquet rejects duplicate field names")
-    // row-level range filtering needs the decoded url; add it internally
+    // row-level range filtering needs the decoded url / warc_ts; add
+    // them internally
     val needUrl = urlRange.isDefined && !columns.contains("url")
-    val decodeCols = if (needUrl) "url" +: columns else columns
+    val needTs = tsRangeMicros.isDefined && !columns.contains("warc_ts")
+    val decodeCols =
+      (if (needTs) Seq("warc_ts") else Seq.empty) ++
+        (if (needUrl) Seq("url") else Seq.empty) ++ columns
 
     var chunks = chunkScan(spark, outDir)
     urlRange.foreach { case (lo, hi) =>
       chunks = chunks.filter(col("urlMax") >= lo && col("urlMin") <= hi)
+    }
+    tsRangeMicros.foreach { case (lo, hi) =>
+      chunks = chunks.filter(col("tsMin").isNull ||
+        (col("tsMax") >= lo && col("tsMin") <= hi))
     }
     val narrow = chunks.select(
       (col("rows") +: col("pid") +: col("blockIdx") +: col("textCrc32") +:
@@ -116,10 +132,13 @@ object DecodeJob {
     })
     val metaWidth = 4 // rows, pid, blockIdx, textCrc32
     val range = urlRange
+    val tsRange = tsRangeMicros
     val rows = narrow.mapPartitions { it =>
       it.flatMap { r =>
         val n = r.getLong(0).toInt
         var urlView: ColumnCodec.BytesView = null
+        var tsMicrosArr: Array[Long] = null
+        var tsNullsArr: Array[Boolean] = null
         val decoded: Map[String, Int => Any] = decodeCols.zipWithIndex.map { case (c, i) =>
           val block = r.getAs[Array[Byte]](metaWidth + i)
           require(block != null,
@@ -128,6 +147,8 @@ object DecodeJob {
           c -> (c match {
             case "warc_ts" =>
               val (micros, nulls) = ColumnCodec.decodeLongs(block)
+              tsMicrosArr = micros
+              tsNullsArr = nulls
               (j: Int) => if (nulls != null && nulls(j)) null else microsToTs(micros(j))
             case "html" =>
               val v = ColumnCodec.decodeBytesView(block)
@@ -142,14 +163,24 @@ object DecodeJob {
               (j: Int) => v.stringAt(j)
           })
         }.toMap
-        val keep: Int => Boolean = range match {
+        val urlKeep: Int => Boolean = range match {
           case Some((lo, hi)) =>
             // shared UTF-8 byte-order semantics — see [[urlRangeKeep]];
             // the view compares payload ranges in place, no String
             // round-trip
             urlRangeKeep(urlView, Array(lo.getBytes(UTF_8)), Array(hi.getBytes(UTF_8)))
-          case None => _ => true
+          case None => null
         }
+        val tsKeep: Int => Boolean = tsRange match {
+          case Some((lo, hi)) =>
+            // exact micros filter on the decoded values; null ts never
+            // matches (SQL comparison semantics)
+            val (m, nn) = (tsMicrosArr, tsNullsArr)
+            j => (nn == null || !nn(j)) && m(j) >= lo && m(j) <= hi
+          case None => null
+        }
+        val keep: Int => Boolean =
+          j => (urlKeep == null || urlKeep(j)) && (tsKeep == null || tsKeep(j))
         // hoist the per-column getters out of the row loop: a Map lookup
         // + Seq allocation per CELL is pure overhead in the projection
         // hot path; one pre-sized array fill per row remains

@@ -108,14 +108,27 @@ object PipelineCli {
 
       case "decode" :: outDir :: out :: rest =>
         val spark = session("graft-decode")
-        // optional: comma-separated column projection and an inclusive
-        // url range — columnar decode reads only the requested blocks and
-        // prunes chunks by (urlMin, urlMax) before decoding
+        // optional: comma-separated column projection, an inclusive url
+        // range, and/or `ts <lo> <hi>` (epoch micros or ISO-8601
+        // instants) — columnar decode reads only the requested blocks
+        // and prunes chunks by (urlMin, urlMax) / (tsMin, tsMax) before
+        // decoding
+        def tsMicros(s: String): Long = s.toLongOption.getOrElse {
+          val i = java.time.Instant.parse(s)
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            (i.getNano / 1000).toLong)
+        }
         val df = rest match {
           case Nil => DecodeJob.run(spark, outDir).toDF()
           case cols :: Nil => DecodeJob.runProjected(spark, outDir, cols.split(',').toSeq)
+          case cols :: "ts" :: lo :: hi :: Nil =>
+            DecodeJob.runProjected(spark, outDir, cols.split(',').toSeq,
+              None, Some((tsMicros(lo), tsMicros(hi))))
           case cols :: lo :: hi :: Nil =>
             DecodeJob.runProjected(spark, outDir, cols.split(',').toSeq, Some((lo, hi)))
+          case cols :: lo :: hi :: "ts" :: tlo :: thi :: Nil =>
+            DecodeJob.runProjected(spark, outDir, cols.split(',').toSeq,
+              Some((lo, hi)), Some((tsMicros(tlo), tsMicros(thi))))
           case other => sys.error(s"decode: bad args $other")
         }
         TableIO.write(df, out, org.apache.spark.sql.SaveMode.Overwrite)

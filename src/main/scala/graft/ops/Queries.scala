@@ -1748,6 +1748,21 @@ object Queries {
     spark.read.format("graft").load(out).agg(count(lit(1)).as("n_pages"))
   }
 
+  /** Time-range decode through the ENGINE surface (DecodeJob): the
+    * twin of [[qDsv2TsRange]] on the other front door — chunk-level
+    * (tsMin, tsMax) pruning plus exact decoded-micros row filtering in
+    * `runProjected`, over the shared encoded scratch. Both doors must
+    * answer the same ts-range question identically; the oracle holds
+    * each to the source-table ground truth. */
+  def qEngineTsRange(spark: SparkSession, dir: String): DataFrame = {
+    val out = dsv2Scratch(spark, dir)
+    val lo = (1700000000L + 200L) * 1000000L
+    val hi = (1700000000L + 459L) * 1000000L
+    graft.jobs.DecodeJob.runProjected(spark, out, Seq("url", "warc_ts", "lang"),
+        None, Some((lo, hi)))
+      .select($"url", unix_micros($"warc_ts").as("ts_us"), $"lang")
+  }
+
   /** Min/max/count through the DSv2 aggregate pushdown: the extrema of
     * url and warc_ts plus the row count, every one answered from the
     * chunk METADATA columns (urlMin/urlMax are the kernel-sorted chunks'

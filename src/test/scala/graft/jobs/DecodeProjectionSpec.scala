@@ -56,6 +56,56 @@ class DecodeProjectionSpec extends AnyFunSuite with SparkFixture {
     assert(langsOnly == 401L)
   }
 
+  test("ts-range decode prunes on (tsMin, tsMax) and filters micros exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val source = WebtextGen.pages(spark, 800L, partitions = 4)
+    val micros = source.select(unix_micros($"warc_ts")).as[Long].collect().sorted
+    val (lo, hi) = (micros(150), micros(650))
+    val got = DecodeJob.runProjected(spark, dir, Seq("url", "warc_ts"),
+        None, Some((lo, hi)))
+      .select($"url", unix_micros($"warc_ts").as("us"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val want = source
+      .filter(unix_micros($"warc_ts").between(lo, hi))
+      .select($"url", unix_micros($"warc_ts")).as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq && got.nonEmpty && got.length < 800)
+    // ts range without warc_ts in the projection still filters correctly
+    assert(DecodeJob.runProjected(spark, dir, Seq("lang"), None, Some((lo, hi)))
+      .count() == want.length.toLong)
+    // combined url + ts ranges intersect
+    val urls = source.select($"url").as[String].collect().sorted
+    val both = DecodeJob.runProjected(spark, dir, Seq("url"),
+        Some((urls(100), urls(700))), Some((lo, hi)))
+      .as[String].collect().sorted
+    val wantBoth = source
+      .filter($"url".between(urls(100), urls(700)) && unix_micros($"warc_ts").between(lo, hi))
+      .select($"url").as[String].collect().sorted
+    assert(both.toSeq == wantBoth.toSeq)
+    // null-ts rows never match a ts range; and a LEGACY table (null ts
+    // stats columns) keeps its chunks at the metadata level and stays
+    // exact through the row filter
+    val nullDir = tmpDir("graft-proj-nullts")
+    graft.ScalingLevel.rmrf(nullDir)
+    val withNulls = source.toDF()
+      .withColumn("warc_ts",
+        when(expr("url like '%3'"), lit(null).cast("timestamp")).otherwise($"warc_ts"))
+      .as[graft.model.Page](org.apache.spark.sql.Encoders.product[graft.model.Page])
+    EncodeJob.run(spark, withNulls, nullDir, EncodeJob.Config(numPartitions = 4))
+    val legacy = tmpDir("graft-proj-legacyts")
+    graft.ScalingLevel.rmrf(legacy)
+    spark.read.parquet(s"$nullDir/chunks").drop("tsMin", "tsMax")
+      .write.mode("overwrite").parquet(s"$legacy/chunks")
+    val wantNulls = withNulls.toDF()
+      .filter(unix_micros($"warc_ts").between(lo, hi))
+      .select($"url").as[String].collect().sorted
+    for (d <- Seq(nullDir, legacy)) {
+      val g = DecodeJob.runProjected(spark, d, Seq("url"), None, Some((lo, hi)))
+        .as[String].collect().sorted
+      assert(g.toSeq == wantNulls.toSeq, s"ts-range over $d diverged")
+    }
+  }
+
   test("timestamps and binary survive projected decode bit-identically") {
     import spark.implicits._
     val got = DecodeJob.runProjected(spark, dir, Seq("url", "warc_ts", "html"))
