@@ -46,7 +46,7 @@ case object PlainBytes extends ByteCodec {
     Varint.sizeUnsigned(data.length.toLong).toLong + data.length
   def decode(block: Array[Byte], from: Int): Array[Byte] = {
     val cur = new ByteCursor(block, from)
-    cur.readBytes(cur.readUnsignedVarint().toInt)
+    cur.readBytes(cur.readCount())
   }
 }
 
@@ -66,12 +66,16 @@ case object FlBytes extends ByteCodec {
 
   def encode(data: Array[Byte]): Array[Byte] = {
     val n = data.length
-    val framesCount = (n + FrameLength - 1) / FrameLength
+    // frame math in Long: (n + 127) and (f + 1) * 128 both wrap Int for
+    // n within ~127 of Int.MaxValue — a size the caller-side chunk guard
+    // admits — turning sizeOf negative (winning selection!) and encode
+    // into a NegativeArraySizeException
+    val framesCount = ((n.toLong + FrameLength - 1) / FrameLength).toInt
     val bits = new Array[Byte](framesCount)
     var totalBits = 0L
     var f = 0
     while (f < framesCount) {
-      val end = math.min(n, (f + 1) * FrameLength)
+      val end = math.min(n.toLong, (f + 1).toLong * FrameLength).toInt
       var w = 1
       var i = f * FrameLength
       while (i < end) {
@@ -91,7 +95,7 @@ case object FlBytes extends ByteCodec {
     f = 0
     while (f < framesCount) {
       val w = bits(f) & 0xff
-      val end = math.min(n, (f + 1) * FrameLength)
+      val end = math.min(n.toLong, (f + 1).toLong * FrameLength).toInt
       var i = f * FrameLength
       while (i < end) {
         writer.write((data(i) & 0xffL), w)
@@ -114,16 +118,20 @@ case object FlBytes extends ByteCodec {
 
   def decode(block: Array[Byte], from: Int): Array[Byte] = {
     val cur = new ByteCursor(block, from)
-    val n = cur.readUnsignedVarint().toInt
+    val n = cur.readCount()
     if (n == 0) return Array.emptyByteArray
-    val framesCount = (n + FrameLength - 1) / FrameLength
+    val framesCount = ((n.toLong + FrameLength - 1) / FrameLength).toInt
     val bits = cur.readBytes(framesCount)
     val reader = new BitReader(block, cur.pos.toLong * 8L)
     val out = new Array[Byte](n)
     var f = 0
     while (f < framesCount) {
       val w = bits(f) & 0xff
-      val end = math.min(n, (f + 1) * FrameLength)
+      // encode only ever writes widths 1..8; anything else is corruption
+      // and would silently misalign every later frame's bit reads
+      require(w >= 1 && w <= 8,
+        s"FL frame $f has width $w (valid: 1..8) — corrupt block")
+      val end = math.min(n.toLong, (f + 1).toLong * FrameLength).toInt
       var i = f * FrameLength
       while (i < end) {
         out(i) = reader.read(w).toByte
@@ -137,11 +145,11 @@ case object FlBytes extends ByteCodec {
   /** Exact encoded block size without materializing it. */
   def sizeOf(data: Array[Byte]): Long = {
     val n = data.length
-    val framesCount = (n + FrameLength - 1) / FrameLength
+    val framesCount = ((n.toLong + FrameLength - 1) / FrameLength).toInt
     var totalBits = 0L
     var f = 0
     while (f < framesCount) {
-      val end = math.min(n, (f + 1) * FrameLength)
+      val end = math.min(n.toLong, (f + 1).toLong * FrameLength).toInt
       var w = 1
       var i = f * FrameLength
       while (i < end) {
@@ -214,18 +222,23 @@ case object RleBytes extends ByteCodec {
 
   def decode(block: Array[Byte], from: Int): Array[Byte] = {
     val cur = new ByteCursor(block, from)
-    val n = cur.readUnsignedVarint().toInt
-    val runCount = cur.readUnsignedVarint().toInt
+    val n = cur.readCount()
+    val runCount = cur.readCount()
     val out = new Array[Byte](n)
     var pos = 0
     var r = 0
     while (r < runCount) {
       val v = cur.readByte().toByte
-      val c = cur.readUnsignedVarint().toInt
+      val c = cur.readCount()
+      require(c <= n - pos,
+        s"RLE run $r of $c overruns $n values at $pos — corrupt block")
       java.util.Arrays.fill(out, pos, pos + c, v)
       pos += c
       r += 1
     }
+    // runs that UNDERSHOOT n would silently leave a fabricated zero tail
+    // — the exact failure mode the readBytes guard exists for
+    require(pos == n, s"RLE runs cover $pos of $n values — corrupt block")
     out
   }
 

@@ -50,7 +50,7 @@ case object PlainLongs extends LongCodec {
   }
   def decode(block: Array[Byte], from: Int): Array[Long] = {
     val cur = new ByteCursor(block, from)
-    val n = cur.readUnsignedVarint().toInt
+    val n = cur.readCount()
     val bb = java.nio.ByteBuffer.wrap(block, cur.pos, n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Array.fill(n)(bb.getLong())
   }
@@ -101,7 +101,7 @@ case object ForLongs extends LongCodec {
 
   def decode(block: Array[Byte], from: Int): Array[Long] = {
     val cur = new ByteCursor(block, from)
-    val n = cur.readUnsignedVarint().toInt
+    val n = cur.readCount()
     val out = new Array[Long](n)
     var f = 0
     while (f * FrameLength < n) {
@@ -109,6 +109,11 @@ case object ForLongs extends LongCodec {
       val end = math.min(n, start + FrameLength)
       val min = cur.readSignedVarint()
       val width = cur.readByte()
+      // encode writes widths 0..64; a corrupt byte above 64 would make
+      // BitReader's shifts wrap mod 64 (silently wrong longs) AND
+      // misalign the cursor for every later frame
+      require(width <= 64,
+        s"FOR frame $f has width $width (valid: 0..64) — corrupt block")
       if (width == 0) {
         java.util.Arrays.fill(out, start, end, min)
       } else {
@@ -188,18 +193,22 @@ case object RleLongs extends LongCodec {
 
   def decode(block: Array[Byte], from: Int): Array[Long] = {
     val cur = new ByteCursor(block, from)
-    val n = cur.readUnsignedVarint().toInt
+    val n = cur.readCount()
     val runCount = cur.readUnsignedVarint()
     val out = new Array[Long](n)
     var pos = 0
     var r = 0L
     while (r < runCount) {
       val v = cur.readSignedVarint()
-      val c = cur.readUnsignedVarint().toInt
+      val c = cur.readCount()
+      require(c <= n - pos,
+        s"RLE run $r of $c overruns $n values at $pos — corrupt block")
       java.util.Arrays.fill(out, pos, pos + c, v)
       pos += c
       r += 1
     }
+    // undershooting runs would leave a fabricated zero tail — fail loudly
+    require(pos == n, s"RLE runs cover $pos of $n values — corrupt block")
     out
   }
 
@@ -247,7 +256,7 @@ case object DeltaLongs extends LongCodec {
 
   def decode(block: Array[Byte], from: Int): Array[Long] = {
     val cur = new ByteCursor(block, from)
-    val n = cur.readUnsignedVarint().toInt
+    val n = cur.readCount()
     if (n == 0) return Array.emptyLongArray
     val first = cur.readSignedVarint()
     val deltas = ForLongs.decode(block, cur.pos)

@@ -54,6 +54,16 @@ final class ByteCursor(val buf: Array[Byte], var pos: Int = 0) {
     out
   }
   def readSignedVarint(): Long = Varint.unzigzag(readUnsignedVarint())
+  /** Count varint narrowed to Int with a NAMED overflow check: a bare
+    * `.toInt` aliases a corrupt 64-bit count to a small value and the
+    * decode "succeeds" with the wrong length — bypassing every guard
+    * downstream of the narrowing. */
+  def readCount(): Int = {
+    val v = readUnsignedVarint()
+    require(v <= Int.MaxValue,
+      s"count $v exceeds Int range at offset $pos — corrupt block")
+    v.toInt
+  }
   def readByte(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
   def readBytes(n: Int): Array[Byte] = {
     // copyOfRange silently ZERO-PADS past the source's end — a corrupt

@@ -25,9 +25,14 @@ object JsonlPages {
     StructField("text", StringType),
     StructField("lang", StringType)))
 
-  /** Explicit microsecond timestamp format on BOTH sides: the JSON
-    * source's default pattern carries milliseconds only, silently
-    * truncating warc_ts and breaking byte-identity on round-trip. */
+  /** Explicit microsecond timestamp format on the WRITE side only: the
+    * JSON sink's default pattern carries milliseconds, silently
+    * truncating warc_ts and breaking byte-identity on round-trip. The
+    * READ side deliberately does NOT pin this format — external feeds
+    * legitimately carry whole-second/millisecond instants, which the
+    * shape gate + try_to_timestamp below accept (re-pinning the format
+    * there would re-break them, the regression JsonlPagesSpec's second
+    * test guards). */
   private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   def write(ds: Dataset[graft.model.Page], path: String): Unit =
@@ -58,8 +63,10 @@ object JsonlPages {
     * plausible-but-wrong instant instead of failing FAILFAST-style.
     * Named zones ("... UTC") are deliberately outside the gate: they
     * are not ISO-8601 instants and feeds carrying them should be
-    * normalized upstream, loudly. */
-  private val TsShape = "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?(Z|[+-]\\d{2}(:?\\d{2})?)$"
+    * normalized upstream, loudly. \A...\z anchors, not ^...$: Java's $
+    * also matches BEFORE a trailing line terminator, so a value ending
+    * in '\n' would slip through the gate it promises to close. */
+  private val TsShape = "\\A\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?(Z|[+-]\\d{2}(:?\\d{2})?)\\z"
 
   def read(spark: SparkSession, path: String): Dataset[graft.model.Page] =
     spark.read.schema(ReadSchema)

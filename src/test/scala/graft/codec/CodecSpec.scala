@@ -184,4 +184,43 @@ class CodecSpec extends AnyFunSuite with GenDriven {
       assert(values.forall(v => r.read(width) == v), s"width=$width")
     }
   }
+
+  test("corrupt inner-codec blocks fail loudly, never silent garbage") {
+    import graft.codec._
+    // RLE bytes: runs UNDERSHOOT n -> must not return a zero-filled tail
+    // layout [varint n=2][varint runCount=1][value 'A'][varint count=1]
+    val rleShort = Array[Byte](2, 1, 0x41, 1)
+    val e1 = intercept[IllegalArgumentException] { RleBytes.decode(rleShort, 0) }
+    assert(e1.getMessage.contains("cover"), e1.getMessage)
+    // RLE bytes: a run OVERRUNS n -> named error, not a bare index crash
+    val rleOver = Array[Byte](2, 1, 0x41, 5)
+    val e2 = intercept[IllegalArgumentException] { RleBytes.decode(rleOver, 0) }
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
+    // RLE longs: same undershoot contract
+    val rleL = Array[Byte](2, 1, 0, 1) // n=2, runCount=1, v=zigzag(0), c=1
+    val e3 = intercept[IllegalArgumentException] { RleLongs.decode(rleL, 0) }
+    assert(e3.getMessage.contains("cover"), e3.getMessage)
+
+    // FL bytes: width byte outside 1..8 must fail, not misalign frames
+    val fl = FlBytes.encode(Array[Byte](1, 2, 3, 4)).clone()
+    fl(1) = 0 // [varint n=4][bits frame][values]: width byte at offset 1
+    val e4 = intercept[IllegalArgumentException] { FlBytes.decode(fl, 0) }
+    assert(e4.getMessage.contains("width"), e4.getMessage)
+
+    // FOR longs: width byte above 64 must fail (BitReader shifts wrap
+    // mod 64 -> silently wrong longs otherwise)
+    val forB = ForLongs.encode(Array(100L, 101L, 102L)).clone()
+    // layout [varint n=3][svarint min][width][bits]: min=100 zigzags to
+    // 200 = 2-byte varint, so the width byte sits at offset 3
+    forB(3) = 100
+    val e5 = intercept[IllegalArgumentException] { ForLongs.decode(forB, 0) }
+    assert(e5.getMessage.contains("width"), e5.getMessage)
+
+    // count varint past Int.MaxValue fails named instead of aliasing
+    // small via .toInt: [varint 2^32+5] as a PlainBytes count
+    val big = new java.io.ByteArrayOutputStream()
+    Varint.writeUnsigned(big, (1L << 32) + 5L)
+    val e6 = intercept[IllegalArgumentException] { PlainBytes.decode(big.toByteArray, 0) }
+    assert(e6.getMessage.contains("count"), e6.getMessage)
+  }
 }

@@ -59,7 +59,10 @@ class JsonlPagesSpec extends AnyFunSuite with SparkFixture {
     // unparseable, date-only, and zone-LESS values all fail loudly: the
     // lax default parser would accept the last two as plausible-but-
     // wrong instants (midnight / session-zone interpretation)
-    Seq("not-a-time", "2024-01-01", "2024-01-01T00:00:07").foreach { v =>
+    // the \n case pins the \A..\z anchoring: Java's $ matches before a
+    // trailing line terminator, so ^..$ would let it slip the gate
+    Seq("not-a-time", "2024-01-01", "2024-01-01T00:00:07",
+        "2024-01-01T00:00:07Z\\n").foreach { v =>
       val bad = tmpDir("graft-jsonl-badts")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bad))
       java.nio.file.Files.writeString(
