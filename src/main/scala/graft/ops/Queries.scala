@@ -1673,11 +1673,12 @@ object Queries {
   private val dsv2Memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** Encode-once scratch shared by the DSv2 READ-path queries
-    * (q_dsv2_read / q_dsv2_ts_range / q_dsv2_count): those queries
-    * assert the SCAN — pushdowns, pruning, decode — so re-paying a full
-    * encode per query tripled the suite's largest fixed cost without
-    * widening coverage. The honest full-pipeline encode gates remain
+  /** Encode-once scratch shared by the READ-path queries over the
+    * encoded table (q_dsv2_read / q_dsv2_ts_range / q_dsv2_count /
+    * q_dsv2_minmax through the connector, q_engine_ts_range through
+    * DecodeJob): those queries assert the SCAN — pushdowns, pruning,
+    * decode — so re-paying a full encode per query multiplied the
+    * suite's largest fixed cost without widening coverage. The honest full-pipeline encode gates remain
     * [[qEngineRoundtrip]] (engine surface) and [[qDsv2Write]] (SQL
     * surface), each with its own per-invocation encode. Memoized per
     * (session, input dir) with a validity probe — the manifest must
