@@ -364,13 +364,22 @@ object ColumnCodec {
       if (!flOnly && payload.length >= 256) FsstBytes.sample(payload) else null
     val fsstTable: FsstBytes.SymbolTable =
       if (fsstSample != null) FsstBytes.train(fsstSample) else null
+    var fsstExact: Array[Byte] = null
     val payloadCandidates: Seq[(String, Long)] = if (flOnly) Seq.empty else Seq(
       RleBytes.name -> RleBytes.sizeOf(payload),
       FlBytes.name -> FlBytes.sizeOf(payload),
       PlainBytes.name -> PlainBytes.sizeOf(payload),
-      FsstBytes.name -> (if (fsstTable != null)
-        FsstBytes.estimateSizeWithTable(payload, fsstSample, fsstTable)
-      else Long.MaxValue))
+      FsstBytes.name -> (if (fsstTable == null) Long.MaxValue
+        else if (fsstSample eq payload) {
+          // the sample IS the whole payload (small column): the
+          // "estimate" was already a full encode whose exact bytes were
+          // then discarded and re-encoded in build(). Keep the block —
+          // the size becomes exact (no +10 slack mis-ranking against
+          // exact rivals) and the second encode disappears from the
+          // hot path; the realized-size check below is then moot.
+          fsstExact = FsstBytes.encodeWithTable(payload, fsstTable)
+          fsstExact.length.toLong
+        } else FsstBytes.estimateSizeWithTable(payload, fsstSample, fsstTable)))
 
     val candidates: Seq[(String, Long)] =
       if (flOnly) Seq("fl_plain" -> flSize)
@@ -416,7 +425,8 @@ object ColumnCodec {
           val pCodec = ByteCodecs.all.find(_.name == pName).get
           out.write(pCodec.id)
           val pb =
-            if (pCodec == FsstBytes && fsstTable != null)
+            if (pCodec == FsstBytes && fsstExact != null) fsstExact // sizing pass's block
+            else if (pCodec == FsstBytes && fsstTable != null)
               FsstBytes.encodeWithTable(payload, fsstTable) // reuse trained table
             else pCodec.encode(payload)
           out.write(pb, 0, pb.length)
@@ -433,7 +443,7 @@ object ColumnCodec {
     // instead. The comparison is realized-body vs exact-body in the
     // same units (candidate sizes exclude the shared header + form
     // byte), so the rebuild only happens when it is a guaranteed win.
-    if (!flOnly && winner == s"${FsstBytes.name}+lens") {
+    if (!flOnly && winner == s"${FsstBytes.name}+lens" && fsstExact == null) {
       val exactCandidates: Seq[(String, Long)] = {
         val (nm, sz) = payloadCandidates.filterNot(_._1 == FsstBytes.name).minBy(_._2)
         Seq(s"$nm+lens" -> (lenSize + Varint.sizeUnsigned(lenSize) + sz + 2),

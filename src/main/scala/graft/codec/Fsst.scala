@@ -35,13 +35,22 @@ case object FsstBytes extends ByteCodec {
 
   def decode(block: Array[Byte], from: Int): Array[Byte] = {
     val cur = new ByteCursor(block, from)
-    val decodedLen = cur.readUnsignedVarint().toInt
+    val decodedLen = cur.readCount()
     val nSymbols = cur.readByte()
     val lens = cur.readBytes(nSymbols)
-    val symBytes = cur.readBytes(lens.map(_ & 0xff).sum)
     // symbols are <= 8 bytes: keep them packed in a long each and emit
     // with a register shift loop — no per-symbol array deref, no tiny
-    // System.arraycopy call overhead in the hottest decode loop
+    // System.arraycopy call overhead in the hottest decode loop. Encode
+    // only ever writes symbol lengths 1..8; anything else fabricates
+    // zero bytes (l > 8) or turns its code into a silent no-op (l == 0)
+    var lenSum = 0
+    lens.indices.foreach { s =>
+      val l = lens(s) & 0xff
+      require(l >= 1 && l <= 8,
+        s"FSST symbol $s has length $l (valid: 1..8) — corrupt block")
+      lenSum += l
+    }
+    val symBytes = cur.readBytes(lenSum)
     val symVals = new Array[Long](nSymbols)
     val symLens = new Array[Int](nSymbols)
     var off = 0
@@ -56,7 +65,12 @@ case object FsstBytes extends ByteCodec {
       off += l
       s += 1
     }
-    val codesLen = cur.readUnsignedVarint().toInt
+    val codesLen = cur.readCount()
+    // the code loop below indexes block directly (zero-copy) — it must
+    // bound ITSELF the way readBytes would: a corrupt codesLen would
+    // otherwise silently consume whatever bytes follow the block
+    require(codesLen <= cur.remaining,
+      s"FSST codes length $codesLen exceeds remaining ${cur.remaining} bytes — corrupt block")
     val out = new Array[Byte](decodedLen)
     var outPos = 0
     var i = cur.pos
@@ -64,6 +78,9 @@ case object FsstBytes extends ByteCodec {
     while (i < end) {
       val code = block(i) & 0xff
       if (code == 0xff) {
+        // a truncated escape as the final code byte would read one byte
+        // PAST the declared codes region
+        require(i + 1 < end, "FSST escape truncated at end of codes region — corrupt block")
         out(outPos) = block(i + 1)
         outPos += 1
         i += 2
@@ -76,6 +93,10 @@ case object FsstBytes extends ByteCodec {
         i += 1
       }
     }
+    // a code stream that UNDERSHOOTS the declared length would return
+    // real data + a fabricated zero tail (same contract as RleBytes)
+    require(outPos == decodedLen,
+      s"FSST codes decoded $outPos of $decodedLen bytes — corrupt block")
     out
   }
 

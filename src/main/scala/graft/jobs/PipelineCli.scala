@@ -12,7 +12,10 @@ import graft.sources.{TableIO, WebtextGen}
   *   ingest <inJsonlDir> <outParquet>          (crawl-drop JSONL -> Page table)
   *   encode <inParquet> <outDir> [partitions|auto] [pidUpperBound]
   *          (auto/omitted = ~128 MiB of raw input per pid, floor 2x cores)
-  *   decode <outDir> <decodedParquet> [col,col[,..]] [loUrl hiUrl]
+  *   decode <outDir> <decodedParquet> [col,col[,..]]
+  *          [loUrl hiUrl] [ts <loTs> <hiTs>]
+  *          (ts bounds: epoch micros or ISO-8601 instants; a ts range
+  *          requires the column list — alone or after a url range)
   *   verify <inParquet> <outDir>
   *   stats  <outDir>
   *   flfile c <inFile> <outFlFile> [slices]   (reference `compress c fl`)
@@ -33,19 +36,28 @@ object PipelineCli {
     // cluster's shuffles to the local default) > the local default
     def conf(key: String, env: String, dflt: String): String =
       sys.env.get(env).orElse(sys.props.get(key)).getOrElse(dflt)
+    // every defaultable key honors a user-supplied --conf (sys.props on
+    // the driver) — builder .config would silently OVERRIDE it, the
+    // failure mode the comment above describes. Only
+    // spark.sql.session.timeZone stays PINNED to UTC: verify's
+    // cross-engine timestamp determinism depends on it, and a quietly
+    // honored override would make byte-identity failures look like data
+    // corruption instead of a zone mismatch.
+    def dflt(key: String, value: String): String = sys.props.getOrElse(key, value)
     val b = SparkSession.builder().appName(app)
       .config("spark.sql.shuffle.partitions",
         conf("spark.sql.shuffle.partitions", "SPARK_GRAFT_SHUFFLE", cpus))
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", dflt("spark.sql.adaptive.enabled", "true"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", dflt("spark.ui.enabled", "false"))
       // Scan-parallelism knob: the default 128m packs a small bench input
       // into one or two scan tasks, serializing the pid-map stage. 16m
       // keeps every core busy at bench scale; at real scale (multi-GB
       // inputs) either value yields full parallelism.
       .config("spark.sql.files.maxPartitionBytes",
         conf("spark.sql.files.maxPartitionBytes", "SPARK_GRAFT_MAXPART", "16m"))
-      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.files.openCostInBytes",
+        dflt("spark.sql.files.openCostInBytes", "1m"))
     // under spark-submit the master is injected; standalone runs local
     val withMaster = if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
     val s = withMaster.getOrCreate()
