@@ -76,6 +76,17 @@ object DecodeJob {
           java.util.Arrays.compareUnsigned(v.payload, s, e, hi, 0, hi.length) < 0)
     }
 
+  /** Exact row-level warc_ts-range keep filter over DECODED micros: a
+    * null ts never matches (SQL comparison semantics), inclusive bound
+    * lists. ONE definition of the ts-range row semantics, shared by
+    * [[runProjected]] (a single bound pair) and the DSv2 reader
+    * ([[graft.sources.GraftDataSource]], bound lists) — the url twin
+    * [[urlRangeKeep]] exists for the same anti-drift reason. */
+  private[graft] def tsRangeKeep(micros: Array[Long], nulls: Array[Boolean],
+      loB: Array[Long], hiB: Array[Long]): Int => Boolean =
+    j => (nulls == null || !nulls(j)) &&
+      loB.forall(micros(j) >= _) && hiB.forall(micros(j) <= _)
+
   def run(spark: SparkSession, outDir: String): Dataset[Page] = {
     import spark.implicits._
     chunkScan(spark, outDir).as[EncodedChunk]
@@ -116,7 +127,11 @@ object DecodeJob {
       chunks = chunks.filter(col("urlMax") >= lo && col("urlMin") <= hi)
     }
     tsRangeMicros.foreach { case (lo, hi) =>
-      chunks = chunks.filter(col("tsMin").isNull ||
+      // symmetric null guard: tsMax-null-with-tsMin-set never comes from
+      // the writer (both-or-neither), but a hand-repaired/corrupt
+      // metadata row must degrade to KEPT (exact row filter settles it),
+      // not to a NULL predicate silently dropping the chunk's rows
+      chunks = chunks.filter(col("tsMin").isNull || col("tsMax").isNull ||
         (col("tsMax") >= lo && col("tsMin") <= hi))
     }
     val narrow = chunks.select(
@@ -135,7 +150,13 @@ object DecodeJob {
     val tsRange = tsRangeMicros
     val rows = narrow.mapPartitions { it =>
       it.flatMap { r =>
-        val n = r.getLong(0).toInt
+        // named check before narrowing: a corrupt rows value past
+        // Int.MaxValue would wrap and decode the chunk as ZERO rows —
+        // silent truncation
+        val nL = r.getLong(0)
+        require(nL >= 0L && nL <= Int.MaxValue,
+          s"chunk pid=${r.getInt(1)} blockIdx=${r.getInt(2)} claims $nL rows — corrupt metadata")
+        val n = nL.toInt
         var urlView: ColumnCodec.BytesView = null
         var tsMicrosArr: Array[Long] = null
         var tsNullsArr: Array[Boolean] = null
@@ -173,10 +194,7 @@ object DecodeJob {
         }
         val tsKeep: Int => Boolean = tsRange match {
           case Some((lo, hi)) =>
-            // exact micros filter on the decoded values; null ts never
-            // matches (SQL comparison semantics)
-            val (m, nn) = (tsMicrosArr, tsNullsArr)
-            j => (nn == null || !nn(j)) && m(j) >= lo && m(j) <= hi
+            tsRangeKeep(tsMicrosArr, tsNullsArr, Array(lo), Array(hi))
           case None => null
         }
         val keep: Int => Boolean =
@@ -219,6 +237,8 @@ object DecodeJob {
     val texts = ColumnCodec.decodeBytesView(chunk.text.block)
     val langs = ColumnCodec.decodeBytesView(chunk.lang.block)
     requireTextCrc(texts, chunk.textCrc32, chunk.pid, chunk.blockIdx)
+    require(chunk.rows >= 0L && chunk.rows <= Int.MaxValue,
+      s"chunk pid=${chunk.pid} blockIdx=${chunk.blockIdx} claims ${chunk.rows} rows — corrupt metadata")
     val n = chunk.rows.toInt
     Iterator.tabulate(n) { i =>
       val ts = if (tsNulls != null && tsNulls(i)) null else microsToTs(tsMicros(i))

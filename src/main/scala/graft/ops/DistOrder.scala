@@ -123,6 +123,12 @@ object DistOrder {
       prevV = lastV
       havePrev = true
     }
+    // deliberately NOT destroy()ed here: the returned DataFrame is LAZY
+    // and its plan references these broadcasts (and the checkpointed
+    // localRuns blocks) — an eager destroy would crash the caller's
+    // first action. The ContextCleaner releases them once the returned
+    // Dataset goes out of scope, which is the correct owner for
+    // resources that must outlive this method.
     val baseBc = spark.sparkContext.broadcast(baseB.result())
     val countBc = spark.sparkContext.broadcast(countB.result())
 

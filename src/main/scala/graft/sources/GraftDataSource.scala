@@ -843,12 +843,13 @@ final class GraftPartitionReader(file: String, conf: Configuration,
             bounds.urlLo, bounds.urlHi, bounds.urlLoStrict, bounds.urlHiStrict)
         // exact ts filter on the DECODED micros: null ts never matches a
         // range bound (SQL comparison semantics)
+        // exact ts filter on the DECODED micros — shared semantics with
+        // the engine decode (see DecodeJob.tsRangeKeep)
         val tsKeep: Int => Boolean =
           if (!hasTsBounds) null
           else {
             val (micros, nulls) = tsDecoded()
-            j => (nulls == null || !nulls(j)) &&
-              bounds.tsLo.forall(micros(j) >= _) && bounds.tsHi.forall(micros(j) <= _)
+            graft.jobs.DecodeJob.tsRangeKeep(micros, nulls, bounds.tsLo, bounds.tsHi)
           }
         val b = Array.newBuilder[Int]
         var j = 0
