@@ -49,8 +49,13 @@ for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
     if spark_df is None:
         print(f"[MISS ] {name}: no spark output"); fails += 1; continue
     if name not in oracle:
-        print(f"[ROWS ] {name}: no oracle, rows={len(spark_df)}" +
-              (" EMPTY!" if len(spark_df) == 0 else ""))
+        # a rows-only query that returns ZERO rows verifies nothing —
+        # fail the gate instead of printing a marker nobody reads
+        if len(spark_df) == 0:
+            print(f"[ROWS!] {name}: no oracle and ZERO rows — vacuous check")
+            fails += 1
+        else:
+            print(f"[ROWS ] {name}: no oracle, rows={len(spark_df)}")
         continue
     try:
         duck_df = con.execute(oracle[name]).df()
