@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed total-order primitives — the scale-safe replacements for
   * `Window.orderBy(...)` with no `partitionBy`, which moves every row to a
@@ -22,6 +21,11 @@ object DistOrder {
   /** One RLE run local to a range partition: `idx` is the run's ordinal
     * within its partition, `len` its row count. */
   final case class LocalRun(part: Int, idx: Long, v: String, len: Long)
+
+  /** Per-partition boundary summary: `m` local runs, first/last run value.
+    * Rides back on an accumulator from the run-detect pass itself, so the
+    * stitch needs NO separate aggregation job over the runs table. */
+  final case class PartSummary(part: Int, m: Long, firstV: String, lastV: String)
 
   /** Global RLE runs of `valueCol` over the total order given by
     * `sortCols`, without a global sort:
@@ -60,15 +64,31 @@ object DistOrder {
       .sortWithinPartitions(keyCols: _*)
       .select(col("__graft_v"))
 
+    // Boundary summaries ride back on an accumulator from the SAME pass
+    // the eager localCheckpoint below runs, so the stitch costs ZERO extra
+    // jobs (the old shape ran a groupBy+collect over the whole runs table
+    // just to recover K boundary rows). Accumulator updates happen in a
+    // transformation — at-least-once under task retry — so summaries are
+    // deduped by partition with a loud agreement check: duplicate-key sort
+    // ties could in principle let twin attempts detect different runs, and
+    // an arbitrary pick would silently mis-stitch global ids (both current
+    // callers sort by UNIQUE keys, where twins always agree).
+    val sumAcc = spark.sparkContext
+      .collectionAccumulator[PartSummary]("graft.distorder.runs.summaries")
     val localRuns = parted.mapPartitions { rows =>
       val part = TaskContext.getPartitionId()
       new Iterator[LocalRun] {
         private var idx = -1L
         private var cur: String = null
         private var len = 0L
+        private var firstV: String = null
         private var pending: LocalRun = null
         private var exhausted = false
-        private def emit(): LocalRun = { idx += 1; LocalRun(part, idx, cur, len) }
+        private def emit(): LocalRun = {
+          idx += 1
+          if (idx == 0L) firstV = cur
+          LocalRun(part, idx, cur, len)
+        }
         def hasNext: Boolean = {
           while (pending == null && !exhausted) {
             if (rows.hasNext) {
@@ -79,6 +99,10 @@ object DistOrder {
             } else {
               exhausted = true
               if (len > 0L) pending = emit()
+              // one summary per non-empty partition, flushed exactly when
+              // the task has produced all its rows (empty partitions emit
+              // nothing — the stitch skips absent parts, as before)
+              if (idx >= 0L) sumAcc.add(PartSummary(part, idx + 1L, firstV, cur))
             }
           }
           pending != null
@@ -86,41 +110,43 @@ object DistOrder {
         def next(): LocalRun = { val r = pending; pending = null; r }
       }
     }(Encoders.product[LocalRun])
-      // The two actions below (boundary summary, final rows) must see the
-      // IDENTICAL local runs. persist() is not enough: it is best-effort,
-      // and a lost block would be RECOMPUTED — with duplicate sort keys the
-      // tie order (and so the run structure) of the recompute can differ
-      // from what the summaries were built from, silently mis-stitching
-      // global run ids. localCheckpoint truncates lineage entirely: blocks
-      // cannot be recomputed, only lost loudly. (Blocks are released by the
+      // The boundary summaries and the final rows must see the IDENTICAL
+      // local runs. persist() is not enough: it is best-effort, and a lost
+      // block would be RECOMPUTED — with duplicate sort keys the tie order
+      // (and so the run structure) of the recompute can differ from what
+      // the summaries were built from, silently mis-stitching global run
+      // ids. localCheckpoint truncates lineage entirely: blocks cannot be
+      // recomputed, only lost loudly. (Blocks are released by the
       // ContextCleaner once this Dataset goes out of scope — the method
       // returns only the merged result below.)
       .localCheckpoint(true)
 
-    // O(#partitions) boundary state to the driver; never payload rows
-    val summaries: Array[Row] = localRuns.groupBy(col("part")).agg(
-      count(lit(1)).as("m"),
-      expr("min_by(v, idx)").as("firstV"),
-      expr("max_by(v, idx)").as("lastV"))
-      .orderBy(col("part"))
-      .collect()
+    // O(#partitions) boundary state on the driver; never payload rows
+    val summaries: Array[PartSummary] = {
+      import scala.jdk.CollectionConverters._
+      sumAcc.value.asScala
+        .groupBy(_.part).map { case (part, twins) =>
+          require(twins.forall(_ == twins.head),
+            s"runs: partition $part task attempts detected DIFFERENT local runs " +
+              s"(${twins.toSet}) — non-unique sort keys under a task retry? " +
+              "Provide a total-order sort key.")
+          twins.head
+        }
+        .toArray.sortBy(_.part)
+    }
 
     var prevId = 0L // run ids start at 1, matching sum-of-breaks oracles
     var prevV: String = null
     var havePrev = false
     val baseB = Map.newBuilder[Int, Long]
     val countB = Map.newBuilder[Int, Long]
-    summaries.foreach { r =>
-      val part = r.getInt(0)
-      val m = r.getLong(1)
-      val firstV = r.getString(2)
-      val lastV = r.getString(3)
-      val merges = havePrev && firstV == prevV
+    summaries.foreach { s =>
+      val merges = havePrev && s.firstV == prevV
       val b = if (merges) prevId else prevId + 1
-      baseB += part -> b
-      countB += part -> m
-      prevId = b + m - 1
-      prevV = lastV
+      baseB += s.part -> b
+      countB += s.part -> s.m
+      prevId = b + s.m - 1
+      prevV = s.lastV
       havePrev = true
     }
     // deliberately NOT destroy()ed here: the returned DataFrame is LAZY
@@ -151,10 +177,14 @@ object DistOrder {
     val mergedEdges = assigned.filter(col("edge"))
       .groupBy(col("run_id"))
       .agg(min(col("val")).as("val"), sum(col("run_len")).as("run_len"))
-    val result = interior.union(mergedEdges)
-    // materialize the (merged, smaller) result once; the checkpointed
-    // intermediate's blocks are then unreferenced and cleaner-collected
-    result.localCheckpoint(true)
+    // returned LAZY over the checkpointed runs (narrow reads of the
+    // blocks): the old eager localCheckpoint here re-materialized the
+    // whole merged result as one extra job per call just to release the
+    // intermediate's blocks a little earlier — both block sets are
+    // O(#runs) and the ContextCleaner frees them when the returned
+    // Dataset goes out of scope, so the extra materialization bought
+    // nothing a single-action consumer (the normal case) ever saw.
+    interior.union(mergedEdges)
   }
 
   /** Per-partition contribution to one ntile bucket. */
@@ -181,23 +211,41 @@ object DistOrder {
     }, s"ntileRanges: key column '$keyCol' must be an integral type, got " +
       s"${df.schema(keyCol).dataType.catalogString} (a fractional key would be " +
       "silently truncated and diverge from window ntile over the raw values)")
+    // Per-partition row counts ride back on an accumulator from the SAME
+    // pass the eager localCheckpoint runs (the old persist + count pass
+    // shape paid a dedicated job for them). A row COUNT is attempt-
+    // invariant — no tie-order hazard — so at-least-once accumulator
+    // delivery dedupes by partition with no agreement check needed.
+    // Long counter: Iterator.size returns Int and would wrap negative
+    // past 2^31 rows/partition (silent rank corruption at design scale).
+    val cntAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("graft.distorder.ntile.counts")
     val parted = df
       .select(col(keyCol).cast("bigint").as("k"))
       .repartitionByRange(numParts, col("k"))
       .sortWithinPartitions(col("k"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // same boundaries for both passes
-
-    val counts = parted
       .mapPartitions { it =>
-        // Long row counter — Iterator.size returns Int and would wrap
-        // negative past 2^31 rows/partition (silent rank corruption at
-        // the design scale); the sibling `runs` counts with Longs too
-        var n = 0L
-        while (it.hasNext) { it.next(); n += 1L }
-        Iterator.single((TaskContext.getPartitionId(), n))
-      }
-      .collect()
-      .toMap
+        val part = TaskContext.getPartitionId()
+        new Iterator[Row] {
+          private var n = 0L
+          private var flushed = false
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !flushed) { flushed = true; cntAcc.add((part, n)) }
+            h
+          }
+          def next(): Row = { n += 1L; it.next() }
+        }
+      }(Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))))
+      // both passes must see identical partition boundaries; lineage-
+      // truncated blocks, not best-effort persist (see `runs` above)
+      .localCheckpoint(true)
+
+    val counts: Map[Int, Long] = {
+      import scala.jdk.CollectionConverters._
+      cntAcc.value.asScala.groupBy(_._1).map { case (p, vs) => p -> vs.head._2 }
+    }
     val ordered = counts.keys.toSeq.sorted
     val offsets = ordered.zip(ordered.scanLeft(0L)((acc, p) => acc + counts(p))).toMap
     val total = counts.values.sum
@@ -245,11 +293,11 @@ object DistOrder {
       }
     }(Encoders.product[BucketPart])
 
-    // <= `tiles` rows: materialize, then release the cached keyed rows
-    val out = partials.groupBy(col("bucket"))
+    // <= `tiles` rows, returned LAZY over the checkpointed keyed rows:
+    // the old eager localCheckpoint here paid one extra job per call just
+    // to unpersist the keyed rows early — the ContextCleaner releases the
+    // checkpoint blocks when the returned Dataset goes out of scope.
+    partials.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("cnt"), min(col("lo")).as("lo"), max(col("hi")).as("hi"))
-      .localCheckpoint(true)
-    parted.unpersist(false)
-    out
   }
 }

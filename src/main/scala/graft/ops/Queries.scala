@@ -1654,20 +1654,22 @@ object Queries {
       .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")
   }
 
-  /** Range-pruned engine decode under the oracle: same encode as
-    * [[qEngineRoundtrip]] (own scratch dir), then a PROJECTED decode
+  /** Range-pruned engine decode under the oracle: a PROJECTED decode of
+    * the SHARED encoded scratch ([[dsv2Scratch]] — encode paid once per
+    * session+input, exactly like its ts-range twin [[qEngineTsRange]])
     * restricted to an inclusive url range — chunk-level (urlMin, urlMax)
     * pruning plus exact row-level UTF-8 range filtering, the engine's
-    * partition-pruning analog. The %09d url embeds doc_id order-
-    * preservingly, so the oracle is a plain BETWEEN on doc_id. */
+    * partition-pruning analog. This query asserts the RANGE-PRUNED SCAN,
+    * not the encode (the honest per-invocation encode gates remain
+    * [[qEngineRoundtrip]] and [[qDsv2Write]]), so re-paying a full encode
+    * per call multiplied the suite's largest fixed cost without widening
+    * coverage. The %09d url embeds doc_id order-preservingly, so the
+    * oracle is a plain BETWEEN on doc_id. */
   def qEngineRtRange(spark: SparkSession, dir: String): DataFrame = {
-    import graft.jobs.{DecodeJob, EncodeJob}
-    val pages = enginePages(spark, dir)
-    val out = processScratch("graft-engine-rtr", dir, sessionTok(spark))
-    EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
+    val out = dsv2Scratch(spark, dir)
     val lo = "https://doc.example/%09d".format(100L)
     val hi = "https://doc.example/%09d".format(299L)
-    DecodeJob.runProjected(spark, out, Seq("url", "lang"), Some((lo, hi)))
+    graft.jobs.DecodeJob.runProjected(spark, out, Seq("url", "lang"), Some((lo, hi)))
   }
 
   private val dsv2Memo =
