@@ -299,7 +299,18 @@ object Queries {
 
   /** k-family MinHash signature (columns h0..h(k-1)) straight off the raw
     * shingle stream: min() is duplicate-insensitive and the partial
-    * aggregation moves O(#docs) signature rows, not O(#shingles). */
+    * aggregation moves O(#docs) signature rows, not O(#shingles).
+    *
+    * Kept as the exploded + partial-aggregated spelling DELIBERATELY: it
+    * plans as SortAggregate (min over STRING has no mutable agg buffer),
+    * but the map-side sort runs over generator output already clustered
+    * by doc_id and the exchange carries only O(#docs) partial minima. A
+    * round-8 A/B against a row-local array_min(transform(...)) signature
+    * — zero sort, zero exchange on paper — measured 38% SLOWER
+    * (1.16 s → 1.60 s for q_minhash_lsh at sf0.1): lambda higher-order
+    * functions evaluate interpreted per element, and that per-shingle
+    * overhead exceeds the codegen'd explode + sort it replaced. Both
+    * costs are per-shingle CPU, so the ratio does not flip at scale. */
   private def minhashSig(sh: DataFrame, k: Int): DataFrame = {
     val hs = (0 until k).map(b =>
       min(md5(concat(lit(b.toString), $"s").cast("binary"))).as(s"h$b"))
@@ -328,8 +339,10 @@ object Queries {
       $"doc_id",
       length($"text").cast("bigint").as("n_chars_m"),
       size(split($"text", " ", -1)).cast("bigint").as("n_tokens"),
-      size(regexp_extract_all($"text",
-        lit("'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
+      // regexp_count = size(regexp_extract_all(_, _, 0)) without
+      // materializing the match array (same non-overlapping match count)
+      regexp_count($"text",
+        lit("'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"))
         .cast("bigint").as("n_bpeish"))
 
   /** Heuristic language-ID vs the labeled lang column. */
@@ -346,8 +359,10 @@ object Queries {
   def qQualityScore(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       $"doc_id",
-      size(regexp_extract_all($"text", lit("[.!?]"), lit(0))).cast("bigint").as("n_sent_marks"),
-      size(regexp_extract_all($"text", lit("[A-Z][a-z]+"), lit(0))).cast("bigint").as("n_capwords"),
+      // regexp_count: same match count as size(regexp_extract_all(_,_,0))
+      // with no per-row match-array materialization
+      regexp_count($"text", lit("[.!?]")).cast("bigint").as("n_sent_marks"),
+      regexp_count($"text", lit("[A-Z][a-z]+")).cast("bigint").as("n_capwords"),
       when(length($"text").between(100, 20000), 1L).otherwise(0L).as("len_ok"))
 
   /** Document fingerprint: prefix hash + length (near-dup prefilter). */
@@ -367,7 +382,15 @@ object Queries {
       .agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_doc"))
 
   /** SimHash: 16-bit sign-aggregated token hash per doc (DuckDB oracle
-    * expresses the same hex-parse + bit votes with integer shifts). */
+    * expresses the same hex-parse + bit votes with integer shifts).
+    * Kept as the exploded + hash-aggregated spelling DELIBERATELY: the
+    * 16 integer vote sums hash-aggregate with map-side combine, so the
+    * exchange carries O(#docs) rows. A round-8 A/B against a row-local
+    * aggregate()-fold variant (zero exchange on paper) measured 2.7x
+    * SLOWER (0.52 s → 1.43 s at sf0.1): lambda higher-order functions
+    * evaluate interpreted, and 16 fold traversals per document cost far
+    * more than the codegen'd explode + hash aggregate — a per-token CPU
+    * ratio that does not flip at scale. */
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = t(spark, dir, "documents")
       .select($"doc_id", explode(split($"text", " ", -1)).as("tk"))
@@ -907,8 +930,7 @@ object Queries {
     // raw (non-distinct) shingle stream: stays map-side — the corpus side
     // must NEVER shuffle its full shingle set (at 100 TB that is ~the
     // corpus itself; see q_contamination's comment for the same rule)
-    val shRaw = shingleStream(docs)
-    val sig = minhashSig(shRaw, 1).select($"doc_id", $"h0".as("bucket"))
+    val sig = minhashSig(shingleStream(docs), 1).select($"doc_id", $"h0".as("bucket"))
     val okBuckets = sig.groupBy($"bucket").agg(count(lit(1)).as("bcnt"))
       .filter($"bcnt".between(2, 16))
     val members = sig.join(okBuckets, "bucket")
@@ -922,8 +944,12 @@ object Queries {
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
       eager = false)
-    // only CANDIDATE docs' shingles are ever dedup'd: the raw stream
-    // semi-joins against the candidate doc set BEFORE any distinct. No
+    // only CANDIDATE docs' shingles are ever exploded or dedup'd: the
+    // DOCUMENT rows semi-join against the candidate doc set BEFORE the
+    // shingle generator runs (guide rule: join on the un-exploded key,
+    // explode after — the old shape exploded the whole corpus and then
+    // semi-joined the O(#shingles) stream, paying the generator plus a
+    // stream-sized probe for rows that were then thrown away). No
     // explicit broadcast hint: the candidate set is usually small (AQE
     // sees the materialized pair list's size at runtime and broadcasts
     // the semi-join), but on a pathologically dup-heavy corpus it can
@@ -933,7 +959,8 @@ object Queries {
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     // (also materialized once: sh feeds sizes and BOTH sides of the
     // common-shingle join — uncut, each consumer would re-scan the corpus)
-    val sh = cut(shRaw.join(candDocs, Seq("doc_id"), "left_semi").distinct())
+    val sh = cut(shingleStream(
+      docs.join(candDocs, Seq("doc_id"), "left_semi")).distinct())
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -1809,11 +1836,15 @@ object Queries {
   def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select($"doc_id", to_json(struct($"lang", $"source", $"n_chars")).as("js"))
+      // json_tuple parses the JSON ONCE per row where the three
+      // get_json_object calls it replaces each re-parsed it; for
+      // top-level scalar fields the extracted strings are identical
+      .select($"doc_id", json_tuple($"js", "lang", "source", "n_chars"))
       .select(
         $"doc_id",
-        get_json_object($"js", "$.lang").as("lang_j"),
-        get_json_object($"js", "$.source").as("source_j"),
-        get_json_object($"js", "$.n_chars").cast("bigint").as("n_chars_j"))
+        $"c0".as("lang_j"),
+        $"c1".as("source_j"),
+        $"c2".cast("bigint").as("n_chars_j"))
 
   /** Two-column rollup (metrics rollup analog). */
   def qAggRollup(spark: SparkSession, dir: String): DataFrame =
