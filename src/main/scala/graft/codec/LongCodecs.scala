@@ -51,6 +51,13 @@ case object PlainLongs extends LongCodec {
   def decode(block: Array[Byte], from: Int): Array[Long] = {
     val cur = new ByteCursor(block, from)
     val n = cur.readCount()
+    // Long arithmetic: n * 8 as Int overflows negative past Int.MaxValue/8
+    // and would surface as a bare IndexOutOfBounds from ByteBuffer.wrap
+    // instead of the named corrupt-block refusal the codec layer
+    // standardizes on (ForLongs/RleBytes carry the same guard)
+    require(n.toLong * 8L <= (block.length - cur.pos).toLong,
+      s"plain_i64: count $n claims ${n.toLong * 8L} payload bytes but only " +
+        s"${block.length - cur.pos} remain — corrupt block")
     val bb = java.nio.ByteBuffer.wrap(block, cur.pos, n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Array.fill(n)(bb.getLong())
   }

@@ -59,9 +59,12 @@ final class ByteCursor(val buf: Array[Byte], var pos: Int = 0) {
     * decode "succeeds" with the wrong length — bypassing every guard
     * downstream of the narrowing. */
   def readCount(): Int = {
+    // report the offset where the corrupt count STARTS, not the cursor
+    // position after it was consumed — the message exists for forensics
+    val at = pos
     val v = readUnsignedVarint()
     require(v <= Int.MaxValue,
-      s"count $v exceeds Int range at offset $pos — corrupt block")
+      s"count $v exceeds Int range at offset $at — corrupt block")
     v.toInt
   }
   def readByte(): Int = { val b = buf(pos) & 0xff; pos += 1; b }

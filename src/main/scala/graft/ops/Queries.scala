@@ -828,20 +828,30 @@ object Queries {
     * merge (bounded sketch state per task — O(1) per group, the whole
     * point of sketches at 100 TB where exact countDistinct's double
     * aggregation must shuffle every distinct value). */
-  def qSketchBounds(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .groupBy($"source")
-      .agg(
-        countDistinct($"n_chars").as("exact_ndv"),
-        approx_count_distinct($"n_chars", 0.02).as("hll_ndv"),
-        expr("percentile(n_chars, 0.5d)").as("p50"),
-        expr("approx_percentile(n_chars, 0.5d, 10000)").as("ap50"))
+  def qSketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    // exact NDV and the sketches are SEPARATE aggregations joined on the
+    // group key: mixed into one agg, planAggregateWithOneDistinct runs
+    // FOUR ObjectHashAggregate stages whose first partial groups by
+    // (source, n_chars) — building and serializing an HLL + percentile +
+    // GK buffer PER DISTINCT VALUE group through two exchanges (measured
+    // 0.69 s at sf0.1 for 50k rows). Split, the sketch agg keeps one
+    // buffer per source and the exact NDV runs as a plain two-stage
+    // hash aggregate with primitive buffers; the rejoin moves #sources
+    // rows. Same aggregates over the same rows — identical output.
+    val exact = d.groupBy($"source").agg(countDistinct($"n_chars").as("exact_ndv"))
+    val sk = d.groupBy($"source").agg(
+      approx_count_distinct($"n_chars", 0.02).as("hll_ndv"),
+      expr("percentile(n_chars, 0.5d)").as("p50"),
+      expr("approx_percentile(n_chars, 0.5d, 10000)").as("ap50"))
+    exact.join(sk, "source")
       .select(
         $"source", $"exact_ndv",
         (abs($"hll_ndv" - $"exact_ndv") <= $"exact_ndv" * 0.05 + 1.0)
           .cast("bigint").as("hll_ok"),
         (abs($"ap50" - $"p50") <= $"p50" * 0.05 + 1.0)
           .cast("bigint").as("pctl_ok"))
+  }
 
   /** Collocation mining: top-20 bigrams by PMI over the corpus token
     * stream (phrase discovery for tokenizer/vocab curation). Shape: the

@@ -220,22 +220,39 @@ final class GraftInsertableRelation(path: String, truncate: Boolean,
       // crash window shrinks to the delete+rename pair; a crash inside
       // it leaves the complete staging dir on disk for manual recovery
       // (named after the target).
-      val staging = s"$path.__overwrite-${java.util.UUID.randomUUID().toString.take(8)}"
+      // Trailing slashes are stripped BEFORE deriving the staging name:
+      // save("/data/t/") would otherwise stage at "/data/t/.__overwrite-…"
+      // — a CHILD of the table dir that deleteRecursive(path) destroys
+      // before the rename, losing both copies. Belt-and-braces assert
+      // that staging really is a sibling.
+      val normPath = path.replaceAll("/+$", "")
+      require(normPath.nonEmpty && new HPath(normPath).getParent != null,
+        s"graft write: refusing to overwrite filesystem root '$path'")
+      val staging = s"$normPath.__overwrite-${java.util.UUID.randomUUID().toString.take(8)}"
+      require(!staging.startsWith(normPath + "/"),
+        s"graft write: staging dir $staging must not be a descendant of $normPath")
+      // explicit swap-phase flag, NOT an exists(path) probe: a
+      // deleteRecursive that throws PARTWAY leaves the half-deleted
+      // target existing, and the probe would then delete staging — the
+      // only complete copy — contradicting the crash-recovery contract
+      // that staging survives once the swap begins
+      var swapStarted = false
       try {
         graft.jobs.EncodeJob.run(spark, pages, staging, cfg)
-        TableIO.deleteRecursive(spark, path)
+        swapStarted = true
+        TableIO.deleteRecursive(spark, normPath)
         val hconf = spark.sessionState.newHadoopConf()
-        val dst = new HPath(path)
+        val dst = new HPath(normPath)
         val fs = dst.getFileSystem(hconf)
         require(fs.rename(new HPath(staging), dst),
-          s"graft write: rename $staging -> $path failed after the old table was " +
+          s"graft write: rename $staging -> $normPath failed after the old table was " +
             "removed; the complete new table is intact at the staging path")
       } catch {
         case e: Throwable =>
-          // best-effort staging cleanup ONLY when the target still
-          // exists (the failure predates the swap); after the delete,
-          // staging is the sole surviving copy — keep it
-          if (TableIO.exists(spark, path))
+          // best-effort staging cleanup ONLY when the failure predates
+          // the swap; once the swap begins, staging may be the sole
+          // surviving copy — keep it
+          if (!swapStarted)
             try TableIO.deleteRecursive(spark, staging)
             catch { case s: Exception => e.addSuppressed(s) }
           throw e

@@ -471,6 +471,29 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(swapped.exceptAll(fresh).count() == 0L && fresh.exceptAll(swapped).count() == 0L)
   }
 
+  test("overwrite with a TRAILING-SLASH path stages as a sibling, not a child") {
+    // save("/data/t/") used to derive the staging dir as "/data/t/.__overwrite-…"
+    // — a CHILD of the table dir, which deleteRecursive(path) then destroyed
+    // before the rename, losing BOTH the old and the new copy
+    val out = tmpDir("graft-dsv2-slash")
+    graft.ScalingLevel.rmrf(out)
+    val orig = WebtextGen.pages(spark, 60L, seed = 43L, partitions = 2).toDF()
+    orig.write.format("graft").option("partitions", "2").mode("append").save(out)
+    val fresh = WebtextGen.pages(spark, 30L, seed = 44L, partitions = 2).toDF()
+    fresh.write.format("graft").option("partitions", "2").mode("overwrite").save(out + "/")
+    val after = spark.read.format("graft").load(out)
+    assert(after.count() == 30L, "trailing-slash overwrite lost the table")
+    assert(after.exceptAll(fresh).count() == 0L && fresh.exceptAll(after).count() == 0L)
+    // no staging leftovers beside OR inside the table dir
+    val dirFile = new java.io.File(out)
+    val beside = dirFile.getParentFile.listFiles()
+      .filter(_.getName.startsWith(dirFile.getName + ".__overwrite-"))
+    val inside = Option(dirFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".__overwrite-"))
+    assert(beside.isEmpty && inside.isEmpty,
+      s"staging leftovers: ${(beside ++ inside).mkString(", ")}")
+  }
+
   test("empty projection (count star) and empty table read") {
     // count(*): Spark prunes to a zero-width schema — the reader must
     // still emit one row per decoded row
