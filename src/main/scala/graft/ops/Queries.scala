@@ -655,6 +655,11 @@ object Queries {
     val e = t(spark, dir, "events")
       .select($"user_id",
         expr(s"unix_micros(cast(ts as timestamp)) div ${dayUs}L").as("d"))
+    // Kept as groupBy + join DELIBERATELY: a round-8 A/B against an
+    // unordered window min over the user partition (one sort fewer on
+    // paper) measured ~35% slower drift-adjusted — WindowExec buffers
+    // every user's rows where the partial-aggregated first-seen table
+    // plus the ReusedExchange-shared SMJ streams them.
     val first = e.groupBy($"user_id").agg(min($"d").as("cohort_day"))
     e.join(first, "user_id")
       .groupBy($"cohort_day", ($"d" - $"cohort_day").as("day_offset"))
@@ -965,6 +970,9 @@ object Queries {
     // the semi-join), but on a pathologically dup-heavy corpus it can
     // approach O(#docs) — an unconditional broadcast() would then OOM the
     // driver, where AQE instead degrades to a shuffle semi-join.
+    // (candDocs reads the lazily-CUT pairs table — by the time it runs,
+    // pairs is checkpointed blocks, so the union costs less than
+    // re-deriving the equivalent doc set from the members join)
     val candDocs = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     // (also materialized once: sh feeds sizes and BOTH sides of the
@@ -1686,7 +1694,10 @@ object Queries {
     // deterministic scratch dir per (process, session, input dir) with
     // stale-pid sweep + shutdown-hook cleanup — see [[processScratch]]
     val out = processScratch("graft-engine-rt", dir, sessionTok(spark))
-    EncodeJob.run(spark, pages, out, EncodeJob.Config(numPartitions = 8))
+    // wholeTableStats=false: Result is discarded here — skip the
+    // end-of-run whole-manifest totals job (the oracle checks the rows)
+    EncodeJob.run(spark, pages, out,
+      EncodeJob.Config(numPartitions = 8, wholeTableStats = false))
     DecodeJob.runProjected(spark, out, Seq("url", "text", "lang"))
       .select($"url", md5($"text".cast("binary")).as("text_md5"), $"lang")
   }
@@ -1737,7 +1748,8 @@ object Queries {
     else {
       val out = processScratch("graft-dsv2-rt", dir, sessionTok(spark))
       graft.jobs.EncodeJob.run(spark, enginePages(spark, dir), out,
-        graft.jobs.EncodeJob.Config(numPartitions = 8))
+        // Result discarded — skip the whole-manifest totals job
+        graft.jobs.EncodeJob.Config(numPartitions = 8, wholeTableStats = false))
       dsv2Memo.put(key, out)
       out
     }
