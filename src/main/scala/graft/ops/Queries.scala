@@ -36,15 +36,19 @@ object Queries {
     * condition is false, and the guard adds NOTHING — this is the
     * scale-adaptive spelling, not a constant tuned to local mode.
     *
-    * OPT-IN, not blanket: only queries whose map stage does heavy
-    * row-local work (shingle explode + MinHash, tokenization, regex
-    * scoring, per-row hashing/decode) use it — measured on the suite, it
-    * cut those 2-3x (q_minhash_lsh 1.38 s → 0.62 s) while a blanket
-    * guard REGRESSED queries whose first stage is a cheap projection
-    * feeding their own shuffle (q_anti_join 0.47 s → 1.13 s,
-    * q_rle_runs +0.5 s: the added exchange is pure overhead when the
-    * query immediately re-shuffles). `spark.graft.scan.minMapTasks`
-    * overrides the parallelism floor (0 disables the guard). */
+    * OPT-IN, not blanket, and membership is MEASURED, not guessed: only
+    * queries whose map stage does heavy row-local work (shingle explode
+    * + MinHash, tokenization into grouped aggregations) use it — on the
+    * suite it cut those up to 2.4x (q_minhash_lsh 1.26 s → 0.52 s,
+    * q_contamination 1.22 s → 0.77 s) while a blanket guard REGRESSED
+    * queries whose first stage is a cheap projection feeding their own
+    * shuffle (q_anti_join 0.47 s → 1.13 s, q_rle_runs +0.5 s: the added
+    * exchange is pure overhead when the query immediately re-shuffles),
+    * and paired A/B moved q_mm_decode (typed serde only) and
+    * q_ngram_jaccard (multi-job; the exchange sits on its first eager
+    * cut's critical path) BACK to the plain reader.
+    * `spark.graft.scan.minMapTasks` overrides the parallelism floor
+    * (0 disables the guard). */
   private def tPar(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     val floor = spark.conf.get("spark.graft.scan.minMapTasks",
@@ -960,7 +964,7 @@ object Queries {
     * by a shingle equi-join. The LSH->exact-verify shape is the one that
     * scales: pairs are bounded per bucket, never all-pairs. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tPar(spark, dir, "documents")
+    val docs = t(spark, dir, "documents")
     // The two bounded intermediates below are cut with localCheckpoint
     // (executor-resident blocks — fastest, but an executor loss mid-query
     // fails the query). For long production runs set
@@ -1087,7 +1091,7 @@ object Queries {
     * from the payload bytes. */
   def qMmDecode(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val docs = tPar(spark, dir, "documents")
+    val docs = t(spark, dir, "documents")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       .as[DocRow](Encoders.product[DocRow])
     docs.mapPartitions { it =>
