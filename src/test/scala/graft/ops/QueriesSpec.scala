@@ -38,6 +38,35 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("spark.graft.cc.checkpointEvery")
   }
 
+  test("unsplittable-input guard: parallelized and plain reads agree; conf disables") {
+    import spark.implicits._
+    val dir = tmpDir("graft-queries-tpar")
+    // single parquet file, single row group: the degenerate shape the
+    // guard exists for — the scan plans ONE task without it
+    val docs = (0L until 400L).map { i =>
+      (i, s"some repeated shingle text body number ${i % 40} padding " * 3,
+        "en", s"src${i % 3}", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    def run() = Queries.qMinhashLsh(spark, dir)
+      .orderBy("band", "bucket").as[(Long, String, Long, Long)].collect().toSeq
+    val guarded = run()
+    // the guard fired: the query's scan side ran with >= floor/2 map
+    // tasks (RoundRobin repartition present). Probe via the plan string.
+    val plan = Queries.qMinhashLsh(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("RoundRobinPartitioning"),
+      "expected the unsplittable-input guard to insert a round-robin repartition")
+    spark.conf.set("spark.graft.scan.minMapTasks", "0")
+    try {
+      val plain = run()
+      val planOff = Queries.qMinhashLsh(spark, dir).queryExecution.executedPlan.toString
+      assert(!planOff.contains("RoundRobinPartitioning"),
+        "minMapTasks=0 must disable the guard")
+      assert(plain == guarded, "guarded and plain reads must produce identical results")
+    } finally spark.conf.unset("spark.graft.scan.minMapTasks")
+  }
+
   test("line-granular ops: windows, keep-first winners, exact df means, empty-doc guard") {
     import spark.implicits._
     val dir = tmpDir("graft-queries-lines")
